@@ -1,0 +1,32 @@
+"""Geometry core: Lie groups, pairwise distances, Kabsch, metrics, ICP.
+
+Everything in this package is a pure, batched, jittable jnp function.
+"""
+
+from scream_tpu.geometry import so3, se3
+from scream_tpu.geometry.pairwise import (
+    square_distance,
+    masked_square_distance,
+    nearest_neighbor,
+    radius_count,
+)
+from scream_tpu.geometry.kabsch import kabsch, integrate_trans
+from scream_tpu.geometry.metrics import (
+    transformation_error,
+    redwood_rmse,
+    chamfer_distance,
+)
+
+__all__ = [
+    "so3",
+    "se3",
+    "square_distance",
+    "masked_square_distance",
+    "nearest_neighbor",
+    "radius_count",
+    "kabsch",
+    "integrate_trans",
+    "transformation_error",
+    "redwood_rmse",
+    "chamfer_distance",
+]

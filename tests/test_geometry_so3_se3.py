@@ -1,0 +1,214 @@
+"""Lie-group unit tests: round trips, parity with scipy oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation
+
+from scream_tpu.geometry import so3, se3
+
+
+def random_rotations(rng, n):
+    return Rotation.random(n, random_state=np.random.RandomState(rng.integers(1 << 30))).as_matrix()
+
+
+class TestSO3:
+    def test_hat_vee_roundtrip(self, rng):
+        w = rng.normal(size=(7, 3)).astype(np.float32)
+        W = so3.hat(jnp.asarray(w))
+        assert np.allclose(so3.vee(W), w)
+        # skew-symmetry
+        assert np.allclose(W, -np.swapaxes(np.asarray(W), -1, -2))
+
+    def test_exp_matches_scipy(self, rng):
+        w = rng.normal(size=(16, 3)).astype(np.float64) * 2.0
+        R_scipy = Rotation.from_rotvec(w).as_matrix()
+        R_ours = so3.exp(jnp.asarray(w, dtype=jnp.float32))
+        assert np.allclose(R_ours, R_scipy, atol=1e-5)
+
+    def test_exp_small_angle(self):
+        w = jnp.array([[1e-8, 0, 0], [0.0, 0.0, 0.0]])
+        R = so3.exp(w)
+        assert np.allclose(R, np.eye(3)[None], atol=1e-6)
+
+    def test_log_exp_roundtrip(self, rng):
+        w = rng.normal(size=(32, 3)).astype(np.float32)
+        # keep away from the pi boundary for the generic branch
+        w = w / np.linalg.norm(w, axis=-1, keepdims=True) * rng.uniform(0.01, 3.0, size=(32, 1))
+        w_rt = so3.log(so3.exp(jnp.asarray(w)))
+        assert np.allclose(w_rt, w, atol=1e-4)
+
+    def test_log_near_pi(self, rng):
+        axis = rng.normal(size=(8, 3))
+        axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+        theta = np.pi - 1e-6
+        w = axis * theta
+        R = Rotation.from_rotvec(w).as_matrix()
+        w_log = np.asarray(so3.log(jnp.asarray(R, dtype=jnp.float32)))
+        # exp(log(R)) must reproduce R even if the axis sign flips at pi
+        R_rt = Rotation.from_rotvec(w_log).as_matrix()
+        assert np.allclose(R_rt, R, atol=1e-3)
+
+    def test_log_identity(self):
+        assert np.allclose(so3.log(jnp.eye(3)), np.zeros(3), atol=1e-7)
+
+    def test_rotation_angle(self, rng):
+        w = rng.normal(size=(8, 3))
+        theta = np.linalg.norm(w, axis=-1) % (2 * np.pi)
+        theta = np.minimum(theta, 2 * np.pi - theta)
+        R = Rotation.from_rotvec(w).as_matrix()
+        ours = np.asarray(so3.rotation_angle(jnp.asarray(R, dtype=jnp.float32)))
+        assert np.allclose(ours, theta, atol=1e-4)
+
+    def test_quat_roundtrip(self, rng):
+        R = random_rotations(rng, 32)
+        q = so3.quat_from_matrix(jnp.asarray(R, dtype=jnp.float32))
+        R_rt = so3.matrix_from_quat(q)
+        assert np.allclose(R_rt, R, atol=1e-5)
+        # against scipy (scipy uses xyzw ordering)
+        q_scipy = Rotation.from_matrix(R).as_quat()  # (x, y, z, w)
+        q_scipy_wxyz = np.concatenate([q_scipy[:, 3:], q_scipy[:, :3]], axis=1)
+        sign = np.sign(np.sum(np.asarray(q) * q_scipy_wxyz, axis=-1, keepdims=True))
+        assert np.allclose(np.asarray(q), q_scipy_wxyz * sign, atol=1e-5)
+
+    def test_euler_zyx_matches_scipy(self, rng):
+        e = rng.normal(size=(16, 3))
+        ours = so3.euler_zyx_matrix(jnp.asarray(e, dtype=jnp.float32))
+        ref = Rotation.from_euler("zyx", e).as_matrix()
+        assert np.allclose(ours, ref, atol=1e-5)
+
+    def test_renderer_view_matrices(self):
+        # The 6 fixed renderer views (/root/reference/models/render.py:17-25)
+        eulers = np.array(
+            [
+                [0, 0, 0],
+                [0, np.pi / 2, 0],
+                [0, np.pi, 0],
+                [0, np.pi * 3 / 2, 0],
+                [0, 0, np.pi / 2],
+                [0, 0, np.pi * 3 / 2],
+            ]
+        )
+        ours = so3.euler_zyx_matrix(jnp.asarray(eulers, dtype=jnp.float32))
+        ref = Rotation.from_euler("zyx", eulers).as_matrix()
+        assert np.allclose(ours, ref, atol=1e-6)
+
+    def test_sample_small_std(self):
+        key = jax.random.PRNGKey(0)
+        R = so3.sample_small(key, std=0.1, shape=(4096,))
+        angles = np.asarray(so3.rotation_angle(R))
+        # angle ~ |N(0, (0.1*pi/sqrt(3))^2)| -> std of raw angle
+        raw_std = 0.1 * np.pi / np.sqrt(3)
+        assert abs(np.mean(angles) - raw_std * np.sqrt(2 / np.pi)) < 0.02
+        assert so3.is_valid(R).all()
+
+    def test_sample_uniform_valid(self):
+        R = so3.sample_uniform(jax.random.PRNGKey(1), shape=(64,))
+        assert so3.is_valid(R).all()
+
+    def test_make_valid(self, rng):
+        R = random_rotations(rng, 8) + rng.normal(size=(8, 3, 3)) * 0.01
+        R_fixed = so3.make_valid(jnp.asarray(R, dtype=jnp.float32))
+        assert so3.is_valid(R_fixed, atol=1e-4).all()
+
+
+class TestSE3:
+    def test_cat_inv_transform(self, rng):
+        R1, R2 = random_rotations(rng, 2)
+        t1 = rng.normal(size=(3, 1))
+        t2 = rng.normal(size=(3, 1))
+        a = se3.se3_init(jnp.asarray(R1, jnp.float32), jnp.asarray(t1, jnp.float32))
+        b = se3.se3_init(jnp.asarray(R2, jnp.float32), jnp.asarray(t2, jnp.float32))
+        ab = se3.se3_cat(a, b)
+        # reference semantics: rot = Ra Rb, trans = Ra tb + ta
+        assert np.allclose(ab[:3, :3], R1 @ R2, atol=1e-5)
+        assert np.allclose(ab[:3, 3:], R1 @ t2 + t1, atol=1e-5)
+
+        # inv . a == identity
+        ident = se3.se3_cat(se3.se3_inv(a), a)
+        assert np.allclose(ident[:3, :3], np.eye(3), atol=1e-5)
+        assert np.allclose(ident[:3, 3:], 0, atol=1e-5)
+
+        pts = jnp.asarray(rng.normal(size=(11, 3)), jnp.float32)
+        out = se3.se3_transform(a, pts)
+        expected = (R1 @ np.asarray(pts).T + t1).T
+        assert np.allclose(out, expected, atol=1e-5)
+
+    def test_exp_log_roundtrip(self, rng):
+        vec = jnp.asarray(rng.normal(size=(16, 6)), jnp.float32)
+        pose = se3.exp(vec)
+        vec_rt = se3.log(pose)
+        assert np.allclose(vec_rt, vec, atol=1e-3)
+
+    def test_exp_zero(self):
+        pose = se3.exp(jnp.zeros(6))
+        assert np.allclose(pose[:3, :3], np.eye(3), atol=1e-7)
+        assert np.allclose(pose[:3, 3], 0, atol=1e-7)
+
+    def test_exp_pure_translation(self):
+        vec = jnp.array([1.0, 2.0, 3.0, 0, 0, 0])
+        pose = se3.exp(vec)
+        assert np.allclose(pose[:3, 3], [1, 2, 3], atol=1e-6)
+
+    def test_pexp_keeps_translation(self, rng):
+        vec = jnp.asarray(rng.normal(size=(4, 6)), jnp.float32)
+        pose = se3.pexp(vec)
+        assert np.allclose(pose[..., :3, 3], vec[..., :3], atol=1e-6)
+        assert np.allclose(se3.plog(pose), vec, atol=1e-4)
+
+    def test_sample_small(self):
+        pose = se3.sample_small(jax.random.PRNGKey(0), std=0.1, shape=(1024,))
+        assert so3.is_valid(pose[..., :3, :3]).all()
+        t_std = np.std(np.asarray(pose[..., :3, 3]))
+        assert abs(t_std - 0.1 / np.sqrt(3)) < 0.01
+
+    def test_4x4_roundtrip(self, rng):
+        R = random_rotations(rng, 3)
+        t = rng.normal(size=(3, 3, 1))
+        pose = se3.se3_init(jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32))
+        T = se3.to_4x4(pose)
+        assert T.shape == (3, 4, 4)
+        assert np.allclose(T[:, 3], [0, 0, 0, 1])
+        assert np.allclose(se3.from_4x4(T), pose)
+
+    def test_quat_trans_roundtrip(self, rng):
+        R = random_rotations(rng, 5)
+        t = rng.normal(size=(5, 3, 1))
+        pose = se3.se3_init(jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32))
+        v7 = se3.as_quat_trans(pose)
+        pose_rt = se3.from_quat_trans(v7)
+        assert np.allclose(pose_rt, pose, atol=1e-5)
+
+    def test_jacob_dAexpeD_de_finite_difference(self, rng):
+        """Analytic jacobian vs finite differences of A . pexp(eps) . D."""
+        R_a, R_d = random_rotations(rng, 2)
+        A = se3.se3_init(jnp.asarray(R_a, jnp.float32), jnp.asarray(rng.normal(size=(3, 1)), jnp.float32))
+        D = se3.se3_init(jnp.asarray(R_d, jnp.float32), jnp.asarray(rng.normal(size=(3, 1)), jnp.float32))
+
+        def f(eps):
+            return se3.se3_cat(se3.se3_cat(A, se3.pexp(eps)), D).reshape(12)
+
+        J_auto = jax.jacobian(f)(jnp.zeros(6))
+        J_analytic = se3.jacob_dAexpeD_de(A, D)
+        assert np.allclose(J_auto, J_analytic, atol=1e-4)
+
+    def test_jacob_expeD_de_finite_difference(self, rng):
+        R_d = random_rotations(rng, 1)[0]
+        D = se3.se3_init(jnp.asarray(R_d, jnp.float32), jnp.asarray(rng.normal(size=(3, 1)), jnp.float32))
+
+        def f(eps):
+            return se3.se3_cat(se3.pexp(eps), D).reshape(12)
+
+        J_auto = jax.jacobian(f)(jnp.zeros(6))
+        assert np.allclose(J_auto, se3.jacob_expeD_de(D), atol=1e-4)
+
+    def test_jacob_Dexpe_de_finite_difference(self, rng):
+        R_d = random_rotations(rng, 1)[0]
+        D = se3.se3_init(jnp.asarray(R_d, jnp.float32), jnp.asarray(rng.normal(size=(3, 1)), jnp.float32))
+
+        def f(eps):
+            return se3.se3_cat(D, se3.pexp(eps)).reshape(12)
+
+        J_auto = jax.jacobian(f)(jnp.zeros(6))
+        assert np.allclose(J_auto, se3.jacob_Dexpe_de(D), atol=1e-4)
