@@ -1,0 +1,138 @@
+"""Voxel-downsample and ICP tests against independent oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from scream_tpu.ops.voxel import voxel_downsample, voxel_downsample_np
+from scream_tpu.geometry.icp import registration_icp, icp_refine_if_better
+from scream_tpu.geometry.kabsch import integrate_trans
+
+
+def brute_voxel_centroids(points, voxel_size):
+    """Oracle: dict-based voxel centroid computation."""
+    origin = points.min(axis=0)
+    coords = np.floor((points - origin) / voxel_size).astype(np.int64)
+    buckets = {}
+    for p, c in zip(points, coords):
+        buckets.setdefault(tuple(c), []).append(p)
+    return np.array(sorted([np.mean(v, axis=0) for v in buckets.values()], key=tuple))
+
+
+class TestVoxelDownsample:
+    def test_matches_bruteforce(self, rng):
+        pts = rng.normal(size=(500, 3)).astype(np.float32) * 2
+        vs = 0.5
+        out, valid = voxel_downsample(jnp.asarray(pts), vs, capacity=512)
+        ours = np.asarray(out)[np.asarray(valid)]
+        ref = brute_voxel_centroids(pts.astype(np.float64), vs)
+        ours_sorted = np.array(sorted(ours.tolist(), key=tuple))
+        assert ours_sorted.shape == ref.shape
+        assert np.allclose(ours_sorted, ref, atol=1e-4)
+
+    def test_np_reference_matches(self, rng):
+        pts = rng.normal(size=(300, 3)).astype(np.float32)
+        ref = brute_voxel_centroids(pts.astype(np.float64), 0.3)
+        ours = voxel_downsample_np(pts, 0.3)
+        ours_sorted = np.array(sorted(ours.tolist(), key=tuple))
+        assert np.allclose(ours_sorted, ref, atol=1e-5)
+
+    def test_masked_input(self, rng):
+        pts = rng.normal(size=(100, 3)).astype(np.float32)
+        pad = np.zeros((28, 3), dtype=np.float32) + 100.0
+        both = np.concatenate([pts, pad])
+        mask = np.arange(128) < 100
+        out, valid = voxel_downsample(jnp.asarray(both), 0.4, capacity=128, mask=jnp.asarray(mask))
+        out_ref, valid_ref = voxel_downsample(jnp.asarray(pts), 0.4, capacity=128)
+        a = np.array(sorted(np.asarray(out)[np.asarray(valid)].tolist(), key=tuple))
+        b = np.array(sorted(np.asarray(out_ref)[np.asarray(valid_ref)].tolist(), key=tuple))
+        assert np.allclose(a, b, atol=1e-5)
+
+    def test_capacity_truncation(self, rng):
+        pts = rng.normal(size=(200, 3)).astype(np.float32) * 10
+        out, valid = voxel_downsample(jnp.asarray(pts), 0.01, capacity=64)
+        # every point its own voxel -> only 64 survive
+        assert int(np.asarray(valid).sum()) == 64
+
+    def test_coarse_collapses_to_one(self, rng):
+        pts = rng.uniform(0, 0.9, size=(50, 3)).astype(np.float32)
+        out, valid = voxel_downsample(jnp.asarray(pts), 100.0, capacity=8)
+        assert int(np.asarray(valid).sum()) == 1
+        assert np.allclose(np.asarray(out)[0], pts.mean(axis=0), atol=1e-4)
+
+
+class TestICP:
+    def _make_pair(self, rng, n=200, angle=0.05, trans=0.05, noise=0.0):
+        src = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+        R = Rotation.from_rotvec(rng.normal(size=3) * angle).as_matrix().astype(np.float32)
+        t = (rng.normal(size=3) * trans).astype(np.float32)
+        tgt = src @ R.T + t
+        if noise:
+            tgt = tgt + rng.normal(size=tgt.shape).astype(np.float32) * noise
+        T_gt = np.eye(4, dtype=np.float32)
+        T_gt[:3, :3] = R
+        T_gt[:3, 3] = t
+        return src, tgt, T_gt
+
+    def test_converges_from_identity(self, rng):
+        src, tgt, T_gt = self._make_pair(rng)
+        res = registration_icp(jnp.asarray(src), jnp.asarray(tgt), 0.3, max_iteration=50)
+        assert np.allclose(np.asarray(res.transformation), T_gt, atol=1e-3)
+        assert float(res.fitness) > 0.99
+        assert float(res.inlier_rmse) < 1e-3
+
+    def test_early_termination(self, rng):
+        """Perfectly aligned clouds should converge in far fewer than max_iteration."""
+        src, tgt, T_gt = self._make_pair(rng, angle=0.0, trans=0.0)
+        res = registration_icp(jnp.asarray(src), jnp.asarray(tgt), 0.3, max_iteration=1000)
+        assert int(res.iterations) < 10
+
+    def test_masked(self, rng):
+        src, tgt, T_gt = self._make_pair(rng, n=150)
+        src_pad = np.concatenate([src, np.full((50, 3), 50.0, np.float32)])
+        tgt_pad = np.concatenate([tgt, np.full((30, 3), -50.0, np.float32)])
+        sm = np.arange(200) < 150
+        tm = np.arange(180) < 150
+        res = registration_icp(
+            jnp.asarray(src_pad), jnp.asarray(tgt_pad), 0.3,
+            max_iteration=50, src_mask=jnp.asarray(sm), tgt_mask=jnp.asarray(tm),
+        )
+        assert np.allclose(np.asarray(res.transformation), T_gt, atol=1e-3)
+
+    def test_open3d_parity(self, rng):
+        """If open3d is importable, compare against the real thing."""
+        try:
+            import open3d as o3d
+        except ImportError:
+            import pytest
+
+            pytest.skip("open3d not installed")
+        src, tgt, T_gt = self._make_pair(rng, noise=0.002)
+        res = registration_icp(jnp.asarray(src), jnp.asarray(tgt), 0.3, max_iteration=30)
+        src_pc = o3d.geometry.PointCloud(o3d.utility.Vector3dVector(src.astype(np.float64)))
+        tgt_pc = o3d.geometry.PointCloud(o3d.utility.Vector3dVector(tgt.astype(np.float64)))
+        ref = o3d.pipelines.registration.registration_icp(
+            src_pc, tgt_pc, 0.3, np.eye(4),
+            o3d.pipelines.registration.TransformationEstimationPointToPoint(),
+        )
+        assert np.allclose(np.asarray(res.transformation), ref.transformation, atol=5e-3)
+
+    def test_refine_if_better_keeps_better(self, rng):
+        src, tgt, T_gt = self._make_pair(rng)
+        # bad init far from truth: ICP should converge and be kept
+        T, re, te = icp_refine_if_better(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.eye(4), jnp.asarray(T_gt), 0.3,
+            max_iteration=50,
+        )
+        assert float(re) < 0.1 and float(te) < 1e-2
+
+    def test_refine_if_better_rejects_worse(self, rng):
+        """Start exactly at GT with a tiny threshold on noisy data: ICP can
+        only drift, so the initial transform must be kept."""
+        src, tgt, T_gt = self._make_pair(rng, noise=0.05)
+        T, re, te = icp_refine_if_better(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(T_gt), jnp.asarray(T_gt), 0.5,
+            max_iteration=10,
+        )
+        assert float(re) <= 1e-5 and float(te) <= 1e-5
+        assert np.allclose(np.asarray(T), T_gt)
