@@ -1,0 +1,130 @@
+"""Central dataclass configuration for models, training, eval and data.
+
+The reference has no config system — every hyperparameter is a module-level
+constant edited in place (`/root/reference/train_3d_match.py:23,34-43`,
+`/root/reference/train_kitti.py:24,38-50`) and mode switching means editing
+``__main__`` blocks. Here a single typed config layer drives the CLI, the
+trainers and the eval protocols.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """PointTransformer / DEMTransformer architecture.
+
+    Defaults mirror the reference model (`/root/reference/models/pointnet.py:8-36`):
+    d_model 256, 8 heads, 6 shared self-attention stem layers, 6 cross blocks
+    (each a self layer + a cross layer).
+    """
+
+    d_model: int = 256
+    num_heads: int = 8
+    self_layers: int = 6
+    cross_layers: int = 6
+    ffn_mult: int = 4
+    # bf16 compute / fp32 params replaces the reference's AMP (train_kitti.py:52).
+    dtype: str = "bfloat16"
+    separate_stems: bool = False  # True for the DEM (OpenGF) variant
+    remat: bool = False  # rematerialize attention blocks during training
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Depth-image renderer (`/root/reference/models/render.py:8-25`)."""
+
+    rho: float = 24.0
+    width: int = 64
+    multi_view: bool = True  # 6 fixed views; False = single identity view
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters.
+
+    3DMatch defaults from `/root/reference/train_3d_match.py:34-43`; KITTI and
+    OpenGF variants override via the task presets below.
+    """
+
+    lr_g: float = 2e-4
+    lr_d: float = 1e-4
+    min_lr: float = 1e-5
+    lr_decay_gamma: float = 0.5
+    lr_decay_epochs: Tuple[int, ...] = (15, 30)
+    epochs: int = 45
+    batch_size: int = 8
+    use_gan: bool = False
+    gan_weight: float = 0.1
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_b1_d: float = 0.5  # discriminator betas (train_3d_match.py:41)
+    seed: int = 0
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_metric: str = "point_loss"  # or "success_rate", "chamfer"
+    save_img_iter: int = 1000
+    log_every: int = 50
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Bucketed padding + normalization for static shapes."""
+
+    max_points: int = 4096  # per-cloud padding bucket
+    normalize: str = "unit_sphere"  # or "unit_cube" (KITTI, datasets/kitti.py:268-273)
+    augment_perturb_std: float = 0.1
+    augment_jitter_std: float = 0.003
+    perturb_both_sides: bool = True  # 3DMatch perturbs either side; KITTI src only
+    root: str = "data"
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation protocol knobs (`/root/reference/evaluate_3d_match.py:174-195`)."""
+
+    dis_thresh: float = 0.1  # NN threshold (0.2 for zero-match)
+    corr: str = "tgt"  # "src_pred" for zero-match
+    icp_thresh: float = 0.1  # 1.0 for KITTI
+    icp_max_iter: int = 30
+    rmse_thresh: float = 0.2  # registration recall criterion
+    re_stat: str = "median"  # "mean" for zero-match
+    success_re_deg: float = 5.0  # KITTI success criteria
+    success_te: float = 2.0
+
+
+def threedmatch_presets():
+    return (
+        ModelConfig(),
+        TrainConfig(),
+        DataConfig(max_points=4096, normalize="unit_sphere"),
+        EvalConfig(),
+    )
+
+
+def kitti_presets():
+    return (
+        ModelConfig(),
+        TrainConfig(lr_g=3.2e-4, epochs=120, lr_decay_epochs=(10, 30),
+                    checkpoint_metric="success_rate"),
+        DataConfig(max_points=8192, normalize="unit_cube", augment_jitter_std=0.0,
+                   perturb_both_sides=False),
+        EvalConfig(dis_thresh=1.5, icp_thresh=1.0, icp_max_iter=1000),
+    )
+
+
+def opengf_presets():
+    return (
+        ModelConfig(separate_stems=True),
+        TrainConfig(checkpoint_metric="chamfer"),
+        DataConfig(max_points=8192, normalize="none"),
+        EvalConfig(),
+    )
