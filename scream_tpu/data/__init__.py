@@ -1,1 +1,28 @@
-"""Placeholder; populated incrementally."""
+"""Data layer: host-side transforms, padded batching, datasets, loaders."""
+
+from scream_tpu.data import transforms, synthetic
+from scream_tpu.data.batching import pad_cloud, bucket_for, collate_pairs, collate_dem
+from scream_tpu.data.datasets import (
+    CANONICAL_SIZES,
+    SCENE_NAME_TO_IDX,
+    OpenGFDataset,
+    PairDataset,
+    SyntheticPairDataset,
+)
+from scream_tpu.data.loader import DEMLoader, PairLoader
+
+__all__ = [
+    "transforms",
+    "synthetic",
+    "pad_cloud",
+    "bucket_for",
+    "collate_pairs",
+    "collate_dem",
+    "CANONICAL_SIZES",
+    "SCENE_NAME_TO_IDX",
+    "OpenGFDataset",
+    "PairDataset",
+    "SyntheticPairDataset",
+    "DEMLoader",
+    "PairLoader",
+]

@@ -36,7 +36,9 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    return sq_src + sq_dst - 2.0 * cross
+    # Clamp: the expansion can go slightly negative for (near-)identical
+    # points, which would NaN any downstream sqrt.
+    return jnp.maximum(sq_src + sq_dst - 2.0 * cross, 0.0)
 
 
 def masked_square_distance(

@@ -7,13 +7,20 @@ real-TPU path is exercised by bench.py / the driver.
 
 import os
 
-# Must run before jax is imported anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The driver environment routes jax to the real-TPU tunnel ("axon") via a
+# sitecustomize hook that force-registers the backend and ignores the
+# JAX_PLATFORMS env var — every test compile would go through the remote
+# chip (~10-100x slower). The jax *config* override below still wins, as
+# long as it runs before the first backend initialization.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must not run on the TPU tunnel"
+assert len(jax.devices()) == 8, "8-device virtual CPU mesh required for sharding tests"
 
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: the suite is compile-bound on CPU, so cache

@@ -1,0 +1,149 @@
+"""Data layer: augmentation GT-consistency, normalization invariants, batching."""
+
+import numpy as np
+import pytest
+
+from scream_tpu.data import (
+    PairLoader,
+    SyntheticPairDataset,
+    bucket_for,
+    collate_pairs,
+    pad_cloud,
+)
+from scream_tpu.data import transforms
+from scream_tpu.data.synthetic import make_dem_patch, make_pair
+
+
+def _apply(T, pts):
+    return pts @ T[:3, :3].T + T[:3, 3]
+
+
+class TestTransforms:
+    def test_sample_small_se3_is_rigid(self, rng):
+        T = transforms.sample_small_se3(rng, std=0.1)
+        R = T[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+        assert np.linalg.det(R) == pytest.approx(1.0)
+
+    def test_sample_small_statistics(self):
+        rng = np.random.default_rng(0)
+        angles = []
+        for _ in range(500):
+            T = transforms.sample_small_se3(rng, std=0.1)
+            tr = np.trace(T[:3, :3])
+            angles.append(np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1))))
+        # angle ~ |N(0, (0.1*pi/sqrt(3))^2)| -> mean |angle| ~ 8.3 deg.
+        assert 5.0 < np.mean(angles) < 13.0
+
+    @pytest.mark.parametrize("both_sides", [True, False])
+    def test_augment_preserves_gt(self, rng, both_sides):
+        """After augmentation, T still registers src onto the same physical scene."""
+        pair = make_pair(rng, 128, 128, overlap=1.0)
+        T = np.eye(4)
+        T[:3, :3], T[:3, 3:] = pair["rot"], pair["trans"]
+        src_world = _apply(T, pair["src"])  # src in the tgt frame, pre-augment
+
+        src_a, tgt_a, T_a = transforms.augment_pair(
+            rng, pair["src"], pair["tgt"], T,
+            jitter_std=0.0, perturb_both_sides=both_sides,
+        )
+        # The same physical correspondence must hold: T_a maps augmented src
+        # onto where those points now live relative to the augmented tgt. When
+        # only src is perturbed, T_a @ src_a == original registered position.
+        got = _apply(T_a, src_a)
+        if not both_sides:
+            np.testing.assert_allclose(got, src_world, atol=1e-9)
+        else:
+            # Perturbing tgt moves the registered frame by the same perturb:
+            # registered src and tgt must stay mutually consistent. Check via
+            # the pairwise structure: distances between registered src points
+            # and tgt points are invariant under the (rigid) frame change.
+            d0 = np.linalg.norm(src_world[:5, None] - pair["tgt"][None, :5], axis=-1)
+            d1 = np.linalg.norm(got[:5, None] - tgt_a[None, :5], axis=-1)
+            np.testing.assert_allclose(d0, d1, atol=1e-8)
+
+    def test_unit_sphere_normalization(self, rng):
+        pair = make_pair(rng, 200, 250, overlap=0.8)
+        src_n, tgt_n, trans_n, s, c = transforms.normalize_unit_sphere(
+            pair["src"], pair["tgt"], pair["rot"], pair["trans"]
+        )
+        # Registered union has max radius 1 around the origin.
+        reg = np.concatenate([src_n @ pair["rot"].T + trans_n.reshape(3), tgt_n])
+        radius = np.linalg.norm(reg - reg.mean(0), axis=1).max()
+        assert radius == pytest.approx(1.0, abs=1e-5)
+        # GT still holds in the normalized frame for true correspondences:
+        # normalized(T x) == rot @ normalized(x) + trans_n.
+        x = pair["src"][:10]
+        lhs = s * (_apply(np.vstack([np.hstack([pair["rot"], pair["trans"]]), [[0, 0, 0, 1]]]), x) - c)
+        rhs = (s * (x - c)) @ pair["rot"].T + trans_n.reshape(3)
+        np.testing.assert_allclose(lhs, rhs, atol=1e-5)
+
+    def test_unit_cube_normalization(self, rng):
+        pair = make_pair(rng, 200, 200, overlap=0.8)
+        src_n, tgt_n, trans_n, s, c = transforms.normalize_unit_cube(
+            pair["src"], pair["tgt"], pair["rot"], pair["trans"]
+        )
+        reg = np.concatenate([src_n @ pair["rot"].T + trans_n.reshape(3), tgt_n])
+        assert (reg.max(0) - reg.min(0)).max() == pytest.approx(2.0, abs=1e-5)
+
+
+class TestSynthetic:
+    def test_pair_gt_exact_for_full_overlap(self, rng):
+        pair = make_pair(rng, 256, 256, overlap=1.0)
+        T = np.eye(4)
+        T[:3, :3], T[:3, 3:] = pair["rot"], pair["trans"]
+        src_world = _apply(T, pair["src"])
+        # Every registered src point lies exactly on some scene point that the
+        # tgt pool also drew from: NN distance should be tiny for most points.
+        d = np.linalg.norm(src_world[:, None] - pair["tgt"][None], axis=-1).min(1)
+        assert np.median(d) < 0.2
+
+    def test_zero_overlap_regime(self, rng):
+        pair = make_pair(rng, 128, 128, overlap=0.0)
+        assert pair["src"].shape == (128, 3)
+
+    def test_dem_patch(self, rng):
+        patch = make_dem_patch(rng, 300, 400)
+        assert patch["dsm"].shape == (300, 3)
+        assert patch["dem"].shape == (400, 3)
+        # DSM has raised clutter: its z range exceeds the DEM's.
+        assert patch["dsm"][:, 2].max() > patch["dem"][:, 2].max() + 0.05
+
+
+class TestBatching:
+    def test_pad_cloud(self, rng):
+        pts = rng.standard_normal((10, 3)).astype(np.float32)
+        out, mask = pad_cloud(pts, 16)
+        assert out.shape == (16, 3) and mask.sum() == 10
+        np.testing.assert_array_equal(out[:10], pts)
+        with pytest.raises(ValueError):
+            pad_cloud(pts, 8)
+
+    def test_bucket_for(self):
+        assert bucket_for(100, (128, 256, 512)) == 128
+        assert bucket_for(129, (128, 256, 512)) == 256
+        with pytest.raises(ValueError):
+            bucket_for(1000, (128, 256))
+
+    def test_collate_and_loader(self):
+        ds = SyntheticPairDataset(length=7, n_src=64, n_tgt=80, seed=1)
+        loader = PairLoader(ds, batch_size=4, src_capacity=64, tgt_capacity=96,
+                            shuffle=True, num_workers=2)
+        batches = list(loader)
+        assert len(batches) == 2
+        b = batches[0]
+        assert b["src"].shape == (4, 64, 3)
+        assert b["tgt"].shape == (4, 96, 3)
+        assert b["tgt_mask"].sum(axis=1).tolist() == [80] * 4
+        assert b["trans"].shape == (4, 3, 1)
+
+    def test_collate_with_info(self):
+        ds = SyntheticPairDataset(length=3, n_src=32, n_tgt=32, with_info=True)
+        b = collate_pairs([ds[i] for i in range(3)], 32)
+        assert b["covariance"].shape == (3, 6, 6)
+        assert b["idx"].shape == (3, 2)
+
+    def test_deterministic_items(self):
+        ds = SyntheticPairDataset(length=4, n_src=32, n_tgt=32, seed=5)
+        a, b = ds[2], ds[2]
+        np.testing.assert_array_equal(a["src"], b["src"])
