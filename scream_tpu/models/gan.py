@@ -67,6 +67,16 @@ class PatchDiscriminator(nn.Module):
             name=name,
         )
 
+        # Spatial floor: n_layers stride-2 convs + two k4/s1/p1 convs each
+        # shaving a pixel. Below this the logit map is empty and the hinge
+        # loss silently produces zero gradients.
+        min_hw = 2 ** self.n_layers * 3
+        if x.shape[1] < min_hw or x.shape[2] < min_hw:
+            raise ValueError(
+                f"PatchDiscriminator needs inputs >= {min_hw}x{min_hw}; got "
+                f"{x.shape[1]}x{x.shape[2]} (empty logit map)"
+            )
+
         x = conv(self.ndf, 2, True, "conv_0")(x)
         x = nn.leaky_relu(x, 0.2)
 

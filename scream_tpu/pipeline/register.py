@@ -1,0 +1,195 @@
+"""End-to-end registration: forward -> correspondences -> Kabsch -> ICP -> metrics.
+
+This is the framework's benchmark path, the TPU-native equivalent of
+`/root/reference/evaluate_3d_match.py:53-171` (``evaluate_loader``) and of the
+in-forward pose estimate at `/root/reference/models/pointnet.py:67-74`. The
+reference runs it one pair at a time with a GPU->CPU hop for the SVD and a
+Python->C++ hop for Open3D ICP; here the whole batch solves in one jittable
+function on device.
+
+Faithful protocol details (each easy to get silently wrong, SURVEY.md §7):
+  * the NN validity threshold is applied to **squared** distances of the
+    *de-scaled but not de-centered* clouds ``src_pred/s`` vs ``tgt/s``
+    (reference `:94-96` — ``square_distance`` returns squared values and is
+    compared to ``dis_thresh`` directly),
+  * Kabsch runs in the fully de-normalized frame ``x/s + c`` (`:97-101`),
+  * zero-overlap mode ("src_pred") pairs ``src[valid]`` with
+    ``src_pred[valid]`` instead of NNs in tgt (`:99-101`),
+  * the GT pose is re-derived in the de-normalized frame as
+    ``[R | t/s + c - R c]`` (`:90`),
+  * ICP refinement (max_correspondence_distance 0.1, Open3D-default 30
+    iterations) is kept only if RE *and* TE both improve (`:109-119`),
+  * success = redwood RMSE < 0.2 (`:121-126`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from scream_tpu.geometry.icp import registration_icp
+from scream_tpu.geometry.kabsch import kabsch
+from scream_tpu.geometry.metrics import registration_recall_rmse, transformation_error
+from scream_tpu.geometry.pairwise import masked_square_distance
+
+
+class PoseSolution(NamedTuple):
+    transform: jnp.ndarray  # (B, 4, 4) in the de-normalized frame
+    n_corr: jnp.ndarray  # (B,) number of valid correspondences
+
+
+class RegistrationMetrics(NamedTuple):
+    transform: jnp.ndarray  # (B, 4, 4)
+    re_deg: jnp.ndarray  # (B,)
+    te: jnp.ndarray  # (B,)
+    n_corr: jnp.ndarray  # (B,)
+    rmse: Optional[jnp.ndarray] = None  # (B,) redwood RMSE when covariance given
+
+
+def denormalized_gt(
+    rot: jnp.ndarray, trans: jnp.ndarray, scale: jnp.ndarray, center: jnp.ndarray
+) -> jnp.ndarray:
+    """GT pose in the de-normalized frame: ``[R | t/s + c - R c]``
+    (reference `/root/reference/evaluate_3d_match.py:90`)."""
+    t = trans.reshape(trans.shape[:-2] + (3,)) / scale[..., None]
+    t = t + center - jnp.einsum("...ij,...j->...i", rot, center)
+    T = jnp.zeros(rot.shape[:-2] + (4, 4), dtype=jnp.float32)
+    T = T.at[..., :3, :3].set(rot)
+    T = T.at[..., :3, 3].set(t)
+    return T.at[..., 3, 3].set(1.0)
+
+
+def solve_pose(
+    src: jnp.ndarray,
+    src_pred: jnp.ndarray,
+    tgt: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    scale: jnp.ndarray,
+    center: jnp.ndarray,
+    dis_thresh: float = 0.1,
+    corr: str = "tgt",
+) -> PoseSolution:
+    """Recover the batched rigid pose from the hallucinated source cloud.
+
+    Args are batched ``(B, N, 3)`` etc.; ``corr`` selects the 3DMatch/KITTI
+    mode ("tgt": pair src with NN of src_pred in tgt) or the ZeroMatch mode
+    ("src_pred": pair src with src_pred directly).
+    """
+    inv_s = (1.0 / scale)[:, None, None]
+    d2 = masked_square_distance(src_pred * inv_s, tgt * inv_s, dst_mask=tgt_mask)
+    nn_d2 = jnp.min(d2, axis=-1)
+    nn_idx = jnp.argmin(d2, axis=-1)
+    valid = (nn_d2 < dis_thresh) & src_mask
+
+    src_dn = src * inv_s + center[:, None, :]
+    if corr == "tgt":
+        partner = jnp.take_along_axis(tgt, nn_idx[..., None], axis=1) * inv_s + center[:, None, :]
+    elif corr == "src_pred":
+        partner = src_pred * inv_s + center[:, None, :]
+    else:
+        raise ValueError(f"unknown corr mode {corr!r}")
+
+    T = kabsch(src_dn, partner, weights=valid.astype(jnp.float32))
+    return PoseSolution(T, jnp.sum(valid, axis=-1))
+
+
+def in_forward_transform(
+    src: jnp.ndarray,
+    src_pred: jnp.ndarray,
+    filt: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    filt_mask: jnp.ndarray,
+    scale: jnp.ndarray,
+    dis_thresh: float = 0.075,
+) -> jnp.ndarray:
+    """The training-time pose estimate in the *normalized* frame.
+
+    Mirrors `/root/reference/models/pointnet.py:67-74`: NN of ``src_pred/s``
+    in ``filt/s`` (the GT-aligned source), valid iff squared distance
+    < ``dis_thresh``, then Kabsch of ``src[valid]`` onto ``filt[nn]``.
+    """
+    inv_s = (1.0 / scale)[:, None, None]
+    d2 = masked_square_distance(src_pred * inv_s, filt * inv_s, dst_mask=filt_mask)
+    nn_d2 = jnp.min(d2, axis=-1)
+    nn_idx = jnp.argmin(d2, axis=-1)
+    valid = (nn_d2 < dis_thresh) & src_mask
+    partner = jnp.take_along_axis(filt, nn_idx[..., None], axis=1)
+    return kabsch(src, partner, weights=valid.astype(jnp.float32))
+
+
+def _icp_refine_batch(
+    src_dn, tgt_dn, src_mask, tgt_mask, init_T, gt_T, icp_thresh, icp_max_iter
+):
+    """vmapped ICP + keep-iff-both-improve acceptance."""
+
+    def one(src, tgt, sm, tm, T0, Tg):
+        re0, te0 = transformation_error(T0, Tg)
+        res = registration_icp(
+            src, tgt, icp_thresh, init=T0, max_iteration=icp_max_iter,
+            src_mask=sm, tgt_mask=tm,
+        )
+        re1, te1 = transformation_error(res.transformation, Tg)
+        better = (re1 <= re0) & (te1 <= te0)
+        T = jnp.where(better, res.transformation, T0)
+        return T, jnp.where(better, re1, re0), jnp.where(better, te1, te0)
+
+    return jax.vmap(one)(src_dn, tgt_dn, src_mask, tgt_mask, init_T, gt_T)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("apply_fn", "dis_thresh", "corr", "icp_thresh", "icp_max_iter", "use_icp"),
+)
+def register_batch(
+    apply_fn: Callable,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    dis_thresh: float = 0.1,
+    corr: str = "tgt",
+    icp_thresh: float = 0.1,
+    icp_max_iter: int = 30,
+    use_icp: bool = True,
+) -> RegistrationMetrics:
+    """Full eval step for one padded batch: forward, solve, refine, measure.
+
+    ``batch`` uses the loader schema (src/tgt/masks/rot/trans/scale/center,
+    optional covariance). ``apply_fn(params, src, tgt, src_mask, tgt_mask,
+    src_center) -> src_pred`` is the jittable model forward. As in the
+    reference protocol, ``src_center`` is the GT-derived hint
+    (`/root/reference/evaluate_3d_match.py:84`).
+    """
+    src, tgt = batch["src"], batch["tgt"]
+    src_mask, tgt_mask = batch["src_mask"], batch["tgt_mask"]
+    rot, trans = batch["rot"], batch["trans"]
+    scale, center = batch["scale"], batch["center"]
+
+    src_center = jnp.swapaxes(trans, -1, -2)  # (B, 1, 3)
+    src_pred = apply_fn(params, src, tgt, src_mask, tgt_mask, src_center)
+    src_pred = src_pred.astype(jnp.float32)
+
+    sol = solve_pose(
+        src, src_pred, tgt, src_mask, tgt_mask, scale, center, dis_thresh, corr
+    )
+    gt_T = denormalized_gt(rot, trans, scale, center)
+
+    inv_s = (1.0 / scale)[:, None, None]
+    src_dn = src * inv_s + center[:, None, :]
+    tgt_dn = tgt * inv_s + center[:, None, :]
+
+    if use_icp:
+        T, re, te = _icp_refine_batch(
+            src_dn, tgt_dn, src_mask, tgt_mask, sol.transform, gt_T,
+            icp_thresh, icp_max_iter,
+        )
+    else:
+        T = sol.transform
+        re, te = jax.vmap(transformation_error)(T, gt_T)
+
+    rmse = None
+    if "covariance" in batch:
+        rmse = registration_recall_rmse(T, gt_T, batch["covariance"])
+    return RegistrationMetrics(T, re, te, sol.n_corr, rmse)

@@ -1,0 +1,341 @@
+"""Epoch-level trainers for the three tasks (3DMatch, KITTI, OpenGF).
+
+TPU-native re-design of the reference's ``train()`` drivers
+(`/root/reference/train_3d_match.py:156-233`, `/root/reference/train_kitti.py:138-234`,
+`/root/reference/train_open_gf.py:79-148`): same recipes — Adam + stepped LR
+decay, optional alternating GAN updates at weight 0.1, per-epoch validation,
+best-metric checkpointing (min point loss / max success rate / min chamfer) —
+but with batched jitted steps, a prefetching loader, and resumable orbax
+checkpoints instead of a batch-1 Python loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scream_tpu.config import EvalConfig, ModelConfig, RenderConfig, TrainConfig
+from scream_tpu.models.gan import PatchDiscriminator
+from scream_tpu.models.point_transformer import DEMTransformer, PointTransformer
+from scream_tpu.pipeline.register import register_batch
+from scream_tpu.train import optim
+from scream_tpu.train.steps import (
+    DiscState,
+    TrainState,
+    init_train_state,
+    make_disc_logit_fn,
+    make_discriminator_step,
+    make_dem_train_step,
+    make_registration_train_step,
+)
+from scream_tpu.utils.checkpoint import BestCheckpointer
+from scream_tpu.utils.logging import MetricsLogger, progressbar
+
+
+def _to_device(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+class RegistrationTrainer:
+    """Train the PointTransformer on registration pairs."""
+
+    def __init__(
+        self,
+        train_loader,
+        val_loader,
+        model_cfg: ModelConfig = ModelConfig(),
+        train_cfg: TrainConfig = TrainConfig(),
+        eval_cfg: EvalConfig = EvalConfig(),
+        render_cfg: RenderConfig = RenderConfig(),
+        decay_mode: str = "every15",
+        checkpoint_dir: Optional[str] = None,
+        logger: Optional[MetricsLogger] = None,
+        val_use_icp: bool = False,
+    ):
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.model_cfg = dataclasses.replace(model_cfg, remat=model_cfg.remat)
+        self.train_cfg = train_cfg
+        self.eval_cfg = eval_cfg
+        self.render_cfg = render_cfg
+        self.model = PointTransformer(self.model_cfg)
+        self.logger = logger or MetricsLogger()
+        self.val_use_icp = val_use_icp
+
+        steps_per_epoch = max(len(train_loader), 1)
+        self.optimizer = optim.generator_optimizer(train_cfg, steps_per_epoch, decay_mode)
+
+        self.use_gan = train_cfg.use_gan
+        self.disc = PatchDiscriminator(input_nc=2) if self.use_gan else None
+        self.disc_optimizer = (
+            optim.discriminator_optimizer(train_cfg) if self.use_gan else None
+        )
+        self.train_step = make_registration_train_step(
+            self.model, self.optimizer,
+            use_gan=self.use_gan,
+            disc_apply=make_disc_logit_fn(self.disc) if self.use_gan else None,
+            render_cfg=render_cfg,
+            gan_weight=train_cfg.gan_weight,
+        )
+        self.disc_step = (
+            make_discriminator_step(self.disc, self.disc_optimizer, render_cfg)
+            if self.use_gan
+            else None
+        )
+        mode = "max" if train_cfg.checkpoint_metric == "success_rate" else "min"
+        self.checkpointer = (
+            BestCheckpointer(checkpoint_dir, mode=mode) if checkpoint_dir else None
+        )
+
+        self._apply_fn = lambda params, src, tgt, sm, tm, center: self.model.apply(
+            {"params": params}, src, tgt, sm, tm, center
+        )
+
+    def init(self, seed: Optional[int] = None):
+        """Initialize generator (and discriminator) states from one batch's shapes."""
+        rng = jax.random.PRNGKey(self.train_cfg.seed if seed is None else seed)
+        batch = _to_device(next(iter(self.train_loader)))
+        variables = self.model.init(
+            rng, batch["src"], batch["tgt"], batch["src_mask"], batch["tgt_mask"],
+            jnp.swapaxes(batch["trans"], -1, -2),
+        )
+        self.state = init_train_state(variables["params"], self.optimizer)
+        self.disc_state = None
+        if self.use_gan:
+            from scream_tpu.ops.render import render_depth_images
+            from scream_tpu.models.gan import images_to_nhwc
+
+            imgs = render_depth_images(
+                batch["src"], batch["tgt"], batch["src_mask"], batch["tgt_mask"],
+                rho=self.render_cfg.rho, width=self.render_cfg.width,
+                multi_view=self.render_cfg.multi_view,
+            )
+            dvars = self.disc.init(
+                jax.random.PRNGKey(1), images_to_nhwc(imgs), train=False
+            )
+            self.disc_state = DiscState(
+                {"params": dvars["params"], "batch_stats": dvars.get("batch_stats", {})},
+                self.disc_optimizer.init(dvars["params"]),
+            )
+        return self.state
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        count = 0
+        for batch in self.train_loader:
+            batch = _to_device(batch)
+            disc_vars = self.disc_state.variables if self.use_gan else None
+            self.state, metrics, fake = self.train_step(self.state, batch, disc_vars)
+            if self.use_gan:
+                real_src = jnp.einsum(
+                    "bij,bnj->bni", batch["rot"], batch["src"]
+                ) + jnp.swapaxes(batch["trans"], -1, -2)
+                self.disc_state, d_loss = self.disc_step(
+                    self.disc_state, fake, real_src, batch["tgt"],
+                    batch["src_mask"], batch["tgt_mask"],
+                )
+                metrics["d_loss"] = d_loss
+            count += 1
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            self.logger.log(int(self.state.step), metrics, prefix="train")
+        return {k: v / max(count, 1) for k, v in sums.items()}
+
+    def evaluate(self) -> Dict[str, float]:
+        """Validation: point loss + pose errors + KITTI-style success rate.
+
+        Mirrors the in-training ``evaluate()`` loops
+        (`/root/reference/train_3d_match.py:106-153`,
+        `/root/reference/train_kitti.py:63-135`).
+        """
+        tot_loss, tot_re, tot_te, n = 0.0, 0.0, 0.0, 0
+        succ, succ_re, succ_te = 0, 0.0, 0.0
+        for batch in self.val_loader:
+            batch = _to_device(batch)
+            src_center = jnp.swapaxes(batch["trans"], -1, -2)
+            src_pred = self.model.apply(
+                {"params": self.state.params},
+                batch["src"], batch["tgt"], batch["src_mask"], batch["tgt_mask"],
+                src_center,
+            ).astype(jnp.float32)
+            loss = PointTransformer.loss(
+                src_pred, batch["src"], batch["rot"], batch["trans"], batch["src_mask"]
+            )
+            m = register_batch(
+                self._apply_fn, self.state.params, batch,
+                dis_thresh=self.eval_cfg.dis_thresh, corr=self.eval_cfg.corr,
+                icp_thresh=self.eval_cfg.icp_thresh,
+                icp_max_iter=self.eval_cfg.icp_max_iter,
+                use_icp=self.val_use_icp,
+            )
+            re = np.asarray(m.re_deg)
+            te = np.asarray(m.te)
+            b = re.shape[0]
+            tot_loss += float(loss) * b
+            tot_re += float(re.sum())
+            tot_te += float(te.sum())
+            ok = (re <= self.eval_cfg.success_re_deg) & (te <= self.eval_cfg.success_te)
+            succ += int(ok.sum())
+            succ_re += float(re[ok].sum())
+            succ_te += float(te[ok].sum())
+            n += b
+        out = {
+            "point_loss": tot_loss / max(n, 1),
+            "rre": tot_re / max(n, 1),
+            "rte": tot_te / max(n, 1),
+            "success_rate": succ / max(n, 1),
+            "success_rre": succ_re / max(succ, 1),
+            "success_rte": succ_te / max(succ, 1),
+        }
+        return out
+
+    def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
+        epochs = epochs or self.train_cfg.epochs
+        last_val: Dict[str, float] = {}
+        for epoch in range(1, epochs):
+            train_metrics = self.train_epoch(epoch)
+            last_val = self.evaluate()
+            self.logger.log(int(self.state.step), last_val, prefix="val")
+            print(
+                f"\nepoch {epoch}  "
+                + "  ".join(f"{k}: {v:.5f}" for k, v in {**train_metrics, **last_val}.items())
+            )
+            if self.checkpointer:
+                metric = last_val[
+                    "point_loss"
+                    if self.train_cfg.checkpoint_metric == "point_loss"
+                    else self.train_cfg.checkpoint_metric
+                ]
+                if self.checkpointer.maybe_save(metric, self.state.params):
+                    print("checkpoint saved (new best)")
+        return last_val
+
+
+class DEMTrainer:
+    """Train the DEMTransformer on OpenGF patches
+    (`/root/reference/train_open_gf.py`)."""
+
+    def __init__(
+        self,
+        train_loader,
+        val_loader,
+        model_cfg: ModelConfig = ModelConfig(separate_stems=True),
+        train_cfg: TrainConfig = TrainConfig(checkpoint_metric="chamfer"),
+        render_cfg: RenderConfig = RenderConfig(multi_view=False),
+        checkpoint_dir: Optional[str] = None,
+        logger: Optional[MetricsLogger] = None,
+    ):
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.model = DEMTransformer(model_cfg)
+        self.train_cfg = train_cfg
+        self.render_cfg = render_cfg
+        self.logger = logger or MetricsLogger()
+
+        steps_per_epoch = max(len(train_loader), 1)
+        self.optimizer = optim.generator_optimizer(train_cfg, steps_per_epoch, "every15")
+        self.use_gan = train_cfg.use_gan
+        self.disc = PatchDiscriminator(input_nc=2) if self.use_gan else None
+        self.disc_optimizer = (
+            optim.discriminator_optimizer(train_cfg) if self.use_gan else None
+        )
+        self.train_step = make_dem_train_step(
+            self.model, self.optimizer,
+            use_gan=self.use_gan,
+            disc_apply=make_disc_logit_fn(self.disc) if self.use_gan else None,
+            render_cfg=render_cfg,
+            gan_weight=train_cfg.gan_weight,
+        )
+        self.disc_step = (
+            make_discriminator_step(self.disc, self.disc_optimizer, render_cfg)
+            if self.use_gan
+            else None
+        )
+        self.checkpointer = (
+            BestCheckpointer(checkpoint_dir, mode="min") if checkpoint_dir else None
+        )
+
+    def init(self, seed: int = 0):
+        rng = jax.random.PRNGKey(seed)
+        batch = _to_device(next(iter(self.train_loader)))
+        variables = self.model.init(
+            rng, batch["dsm"], batch["dem_coarse"],
+            batch["dsm_mask"], batch["dem_coarse_mask"],
+        )
+        self.state = init_train_state(variables["params"], self.optimizer)
+        self.disc_state = None
+        if self.use_gan:
+            from scream_tpu.ops.render import render_depth_images
+            from scream_tpu.models.gan import images_to_nhwc
+
+            imgs = render_depth_images(
+                batch["dsm"], batch["dem_coarse"],
+                batch["dsm_mask"], batch["dem_coarse_mask"],
+                rho=self.render_cfg.rho, width=self.render_cfg.width,
+                multi_view=self.render_cfg.multi_view,
+            )
+            dvars = self.disc.init(jax.random.PRNGKey(1), images_to_nhwc(imgs), train=False)
+            self.disc_state = DiscState(
+                {"params": dvars["params"], "batch_stats": dvars.get("batch_stats", {})},
+                self.disc_optimizer.init(dvars["params"]),
+            )
+        return self.state
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        count = 0
+        for batch in self.train_loader:
+            batch = _to_device(batch)
+            disc_vars = self.disc_state.variables if self.use_gan else None
+            self.state, metrics, fake = self.train_step(self.state, batch, disc_vars)
+            if self.use_gan:
+                self.disc_state, d_loss = self.disc_step(
+                    self.disc_state, fake, batch["dem"], batch["dem_coarse"],
+                    batch["dem_mask"], batch["dem_coarse_mask"],
+                )
+                metrics["d_loss"] = d_loss
+            count += 1
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            self.logger.log(int(self.state.step), metrics, prefix="train")
+        return {k: v / max(count, 1) for k, v in sums.items()}
+
+    def evaluate(self) -> Dict[str, float]:
+        from scream_tpu.geometry.metrics import chamfer_distance, height_mae
+
+        tot_cd, tot_h, n = 0.0, 0.0, 0
+        for batch in self.val_loader:
+            batch = _to_device(batch)
+            dem_pred = self.model.apply(
+                {"params": self.state.params},
+                batch["dsm"], batch["dem_coarse"],
+                batch["dsm_mask"], batch["dem_coarse_mask"],
+            ).astype(jnp.float32)
+            cd = chamfer_distance(dem_pred, batch["dem"], batch["dsm_mask"], batch["dem_mask"])
+            h = height_mae(dem_pred, batch["dem"], batch["dsm_mask"] & batch["dem_mask"])
+            b = cd.shape[0]
+            tot_cd += float(jnp.sum(cd))
+            tot_h += float(jnp.sum(h))
+            n += b
+        return {"chamfer": tot_cd / max(n, 1), "height_mae": tot_h / max(n, 1)}
+
+    def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
+        epochs = epochs or self.train_cfg.epochs
+        last_val: Dict[str, float] = {}
+        for epoch in range(1, epochs):
+            train_metrics = self.train_epoch(epoch)
+            last_val = self.evaluate()
+            self.logger.log(int(self.state.step), last_val, prefix="val")
+            print(
+                f"\nepoch {epoch}  "
+                + "  ".join(f"{k}: {v:.5f}" for k, v in {**train_metrics, **last_val}.items())
+            )
+            if self.checkpointer and self.checkpointer.maybe_save(
+                last_val["chamfer"], self.state.params
+            ):
+                print("checkpoint saved (new best)")
+        return last_val

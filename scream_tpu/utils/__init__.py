@@ -1,1 +1,13 @@
-"""Placeholder; populated incrementally."""
+"""Utilities: checkpointing, logging, timers."""
+
+from scream_tpu.utils.checkpoint import BestCheckpointer, load_params, save_params
+from scream_tpu.utils.logging import MetricsLogger, StepTimer, progressbar
+
+__all__ = [
+    "BestCheckpointer",
+    "load_params",
+    "save_params",
+    "MetricsLogger",
+    "StepTimer",
+    "progressbar",
+]

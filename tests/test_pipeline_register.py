@@ -1,0 +1,103 @@
+"""Integration: the registration pipeline recovers GT from oracle predictions."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from scream_tpu.data import PairLoader, SyntheticPairDataset
+from scream_tpu.geometry.metrics import transformation_error
+from scream_tpu.pipeline import denormalized_gt, in_forward_transform, register_batch, solve_pose
+
+
+def _batch(with_info=False, n=4, overlap=0.9):
+    ds = SyntheticPairDataset(
+        length=n, n_src=200, n_tgt=260, overlap=overlap, seed=7, with_info=with_info
+    )
+    loader = PairLoader(ds, batch_size=n, src_capacity=256, tgt_capacity=288,
+                        num_workers=0)
+    b = next(iter(loader))
+    return {k: jnp.asarray(v) for k, v in b.items()}
+
+
+def _oracle(noise=0.0, seed=0):
+    """A fake model whose src_pred is the GT-registered source (+ noise)."""
+    rng = np.random.default_rng(seed)
+
+    def apply_fn(params, src, tgt, src_mask, tgt_mask, src_center):
+        rot, trans = params
+        pred = jnp.einsum("bij,bnj->bni", rot, src) + jnp.swapaxes(trans, -1, -2)
+        if noise:
+            pred = pred + jnp.asarray(rng.standard_normal(pred.shape) * noise, jnp.float32)
+        return pred
+
+    return apply_fn
+
+
+class TestSolvePose:
+    def test_oracle_recovers_gt(self):
+        b = _batch()
+        gt = np.asarray(denormalized_gt(b["rot"], b["trans"], b["scale"], b["center"]))
+        pred = _oracle()((b["rot"], b["trans"]), b["src"], b["tgt"],
+                         b["src_mask"], b["tgt_mask"], None)
+        # corr="src_pred" pairs src with its own prediction: exact recovery
+        # independent of tgt sampling.
+        sol = solve_pose(b["src"], pred, b["tgt"], b["src_mask"], b["tgt_mask"],
+                         b["scale"], b["center"], dis_thresh=10.0, corr="src_pred")
+        re, te = transformation_error(sol.transform, jnp.asarray(gt))
+        assert float(jnp.max(re)) < 0.1
+        assert float(jnp.max(te)) < 1e-3
+        assert np.all(np.asarray(sol.n_corr) == np.asarray(b["src_mask"].sum(1)))
+
+    def test_tgt_mode_uses_nn(self):
+        b = _batch(overlap=1.0)
+        pred = _oracle()((b["rot"], b["trans"]), b["src"], b["tgt"],
+                         b["src_mask"], b["tgt_mask"], None)
+        sol = solve_pose(b["src"], pred, b["tgt"], b["src_mask"], b["tgt_mask"],
+                         b["scale"], b["center"], dis_thresh=0.1, corr="tgt")
+        gt = denormalized_gt(b["rot"], b["trans"], b["scale"], b["center"])
+        re, te = transformation_error(sol.transform, gt)
+        # NN partners are true scene points: near-exact for full overlap.
+        assert float(jnp.median(re)) < 2.0
+        assert int(jnp.min(sol.n_corr)) > 20
+
+    def test_unknown_corr_raises(self):
+        b = _batch(n=1)
+        with pytest.raises(ValueError):
+            solve_pose(b["src"], b["src"], b["tgt"], b["src_mask"], b["tgt_mask"],
+                       b["scale"], b["center"], corr="nope")
+
+
+class TestRegisterBatch:
+    def test_end_to_end_oracle(self):
+        b = _batch(with_info=True)
+        params = (b["rot"], b["trans"])
+        m = register_batch(_oracle(), params, b, dis_thresh=10.0, corr="src_pred",
+                           icp_thresh=0.1, icp_max_iter=10)
+        assert m.transform.shape == (4, 4, 4)
+        assert float(jnp.max(m.re_deg)) < 0.1
+        assert float(jnp.max(m.te)) < 1e-2
+        assert m.rmse is not None
+        assert float(jnp.max(m.rmse)) < 0.2  # all pairs succeed
+
+    def test_noisy_oracle_icp_does_not_hurt(self):
+        b = _batch(overlap=1.0)
+        params = (b["rot"], b["trans"])
+        noisy = register_batch(_oracle(noise=0.02), params, b,
+                               dis_thresh=10.0, corr="src_pred",
+                               icp_thresh=0.5, icp_max_iter=20)
+        no_icp = register_batch(_oracle(noise=0.02), params, b,
+                                dis_thresh=10.0, corr="src_pred", use_icp=False)
+        # acceptance rule: ICP result is never worse than the Kabsch init
+        assert np.all(np.asarray(noisy.re_deg) <= np.asarray(no_icp.re_deg) + 1e-4)
+        assert np.all(np.asarray(noisy.te) <= np.asarray(no_icp.te) + 1e-5)
+
+    def test_in_forward_transform(self):
+        b = _batch()
+        filt = jnp.einsum("bij,bnj->bni", b["rot"], b["src"]) + jnp.swapaxes(b["trans"], -1, -2)
+        T = in_forward_transform(b["src"], filt, filt, b["src_mask"], b["src_mask"],
+                                 b["scale"])
+        # solving src -> GT-aligned src in the normalized frame: T == [rot|trans]
+        np.testing.assert_allclose(np.asarray(T[:, :3, :3]), np.asarray(b["rot"]), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(T[:, :3, 3:]), np.asarray(b["trans"]), atol=1e-4
+        )

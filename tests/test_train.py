@@ -1,0 +1,136 @@
+"""Training layer: schedules, steps reduce loss, GAN alternation, checkpointing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from scream_tpu.config import ModelConfig, RenderConfig, TrainConfig
+from scream_tpu.data import PairLoader, SyntheticPairDataset
+from scream_tpu.train import optim
+from scream_tpu.train.trainer import DEMTrainer, RegistrationTrainer
+from scream_tpu.utils.checkpoint import BestCheckpointer
+
+
+SMALL_MODEL = ModelConfig(d_model=32, num_heads=4, self_layers=1, cross_layers=1,
+                          dtype="float32")
+
+
+def _loaders(n=8, batch=4, n_pts=64):
+    ds = SyntheticPairDataset(length=n, n_src=n_pts, n_tgt=n_pts, seed=11)
+    mk = lambda: PairLoader(ds, batch_size=batch, src_capacity=n_pts,
+                            tgt_capacity=n_pts, num_workers=0)
+    return mk(), mk()
+
+
+class TestSchedules:
+    def test_decay_epochs(self):
+        assert list(optim.decay_epochs("every15", 45)) == [15, 30, 45]
+        assert list(optim.decay_epochs("kitti", 120)) == [10, 40, 70, 100]
+        with pytest.raises(ValueError):
+            optim.decay_epochs("nope", 10)
+
+    def test_lr_schedule_values(self):
+        sched = optim.lr_schedule(2e-4, [15, 30, 45, 60], steps_per_epoch=10,
+                                  gamma=0.5, min_lr=1e-5)
+        assert float(sched(0)) == pytest.approx(2e-4)
+        assert float(sched(150)) == pytest.approx(1e-4)
+        assert float(sched(300)) == pytest.approx(5e-5)
+        assert float(sched(450)) == pytest.approx(2.5e-5)
+        # floor
+        assert float(sched(600)) == pytest.approx(1.25e-5)
+
+    def test_lr_floor(self):
+        sched = optim.lr_schedule(2e-5, [1, 2], steps_per_epoch=1, min_lr=1e-5)
+        assert float(sched(1)) == pytest.approx(1e-5)
+        assert float(sched(2)) == pytest.approx(1e-5)
+
+
+class TestRegistrationTrainer:
+    def test_loss_decreases(self):
+        train_loader, val_loader = _loaders()
+        tr = RegistrationTrainer(
+            train_loader, val_loader,
+            model_cfg=SMALL_MODEL,
+            train_cfg=TrainConfig(epochs=3, lr_g=1e-3),
+        )
+        tr.init()
+        m0 = tr.train_epoch(1)
+        for _ in range(4):
+            m1 = tr.train_epoch(1)
+        assert m1["point_loss"] < m0["point_loss"]
+
+    def test_evaluate_metrics_present(self):
+        train_loader, val_loader = _loaders()
+        tr = RegistrationTrainer(train_loader, val_loader, model_cfg=SMALL_MODEL)
+        tr.init()
+        val = tr.evaluate()
+        for k in ("point_loss", "rre", "rte", "success_rate"):
+            assert k in val and np.isfinite(val[k])
+
+    def test_gan_updates_both_networks(self):
+        train_loader, val_loader = _loaders(n=4, batch=2, n_pts=48)
+        tr = RegistrationTrainer(
+            train_loader, val_loader,
+            model_cfg=SMALL_MODEL,
+            train_cfg=TrainConfig(epochs=2, use_gan=True),
+            render_cfg=RenderConfig(rho=6.0, width=32, multi_view=False),
+        )
+        tr.init()
+        g0 = jax.tree_util.tree_leaves(tr.state.params)[0].copy()
+        d0 = jax.tree_util.tree_leaves(tr.disc_state.variables["params"])[0].copy()
+        metrics = tr.train_epoch(1)
+        assert "g_loss" in metrics and "d_loss" in metrics
+        g1 = jax.tree_util.tree_leaves(tr.state.params)[0]
+        d1 = jax.tree_util.tree_leaves(tr.disc_state.variables["params"])[0]
+        assert not np.allclose(np.asarray(g0), np.asarray(g1))
+        assert not np.allclose(np.asarray(d0), np.asarray(d1))
+
+
+class TestDEMTrainer:
+    def test_loss_decreases(self):
+        from scream_tpu.data import DEMLoader
+        from scream_tpu.data.synthetic import make_dem_patch
+
+        class DemDs:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                rng = np.random.default_rng(i)
+                return make_dem_patch(rng, n_dsm=64, n_dem=64)
+
+        mk = lambda: DEMLoader(DemDs(), batch_size=4, dsm_capacity=64,
+                               dem_capacity=64, coarse_capacity=16, num_workers=0)
+        tr = DEMTrainer(
+            mk(), mk(),
+            model_cfg=ModelConfig(d_model=32, num_heads=4, self_layers=1,
+                                  cross_layers=1, dtype="float32",
+                                  separate_stems=True),
+            train_cfg=TrainConfig(epochs=3, lr_g=1e-3, checkpoint_metric="chamfer"),
+        )
+        tr.init()
+        m0 = tr.train_epoch(1)
+        for _ in range(4):
+            m1 = tr.train_epoch(1)
+        assert m1["point_loss"] < m0["point_loss"]
+        val = tr.evaluate()
+        assert np.isfinite(val["chamfer"]) and np.isfinite(val["height_mae"])
+
+
+class TestCheckpointer:
+    def test_best_gating_and_restore(self, tmp_path):
+        ck = BestCheckpointer(str(tmp_path / "ck"), mode="min")
+        params = {"w": jnp.arange(4.0)}
+        assert ck.maybe_save(1.0, params)
+        assert not ck.maybe_save(2.0, {"w": jnp.zeros(4)})
+        assert ck.maybe_save(0.5, {"w": jnp.ones(4)})
+        restored = ck.restore({"w": jnp.zeros(4)})
+        np.testing.assert_array_equal(np.asarray(restored["w"]), np.ones(4))
+
+    def test_max_mode(self, tmp_path):
+        ck = BestCheckpointer(str(tmp_path / "ck2"), mode="max")
+        assert ck.maybe_save(0.1, {"w": jnp.zeros(2)})
+        assert not ck.maybe_save(0.05, {"w": jnp.zeros(2)})
+        assert ck.maybe_save(0.4, {"w": jnp.zeros(2)})
