@@ -1,6 +1,6 @@
 """Data layer: host-side transforms, padded batching, datasets, loaders."""
 
-from scream_tpu.data import transforms, synthetic
+from scream_tpu.data import preprocess, synthetic, transforms
 from scream_tpu.data.batching import pad_cloud, bucket_for, collate_pairs, collate_dem
 from scream_tpu.data.datasets import (
     CANONICAL_SIZES,
@@ -12,6 +12,7 @@ from scream_tpu.data.datasets import (
 from scream_tpu.data.loader import DEMLoader, PairLoader
 
 __all__ = [
+    "preprocess",
     "transforms",
     "synthetic",
     "pad_cloud",

@@ -1,0 +1,260 @@
+"""Offline preprocessors: raw pairs -> the ``.npy`` artifact layout.
+
+Re-implements the behavior of `/root/reference/process_3d_match.py`,
+`/root/reference/process_kitti.py` and `/root/reference/process_open_gf.py`
+without Open3D (absent here): voxel downsampling uses the framework's own
+sort-based implementation, radius searches use scipy's cKDTree on the host,
+and KITTI GT refinement uses the on-device jax ICP.
+
+Split rules (all from the reference):
+  * train: every pair; pairs with overlap <= 0.3 additionally emit a
+    de-overlapped ("zero overlap") copy (`process_3d_match.py:43-47`),
+  * 3DMatch test: keep overlap > 0.3 (`:125`),
+  * 3DLoMatch test: keep overlap > 0.1 (`:166`),
+  * 3DZeroMatch test: de-overlapped copies of overlap <= 0.3 pairs (`:173-177`),
+  * voxel sizes: 3DMatch 0.0625, KITTI 0.7 (`process_3d_match.py:30`,
+    `process_kitti.py:55`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, Optional, Tuple
+
+import numpy as np
+
+from scream_tpu.ops.voxel import voxel_downsample_np
+
+THREEDMATCH_VOXEL = 0.0625
+KITTI_VOXEL = 0.7
+OVERLAP_RADIUS = 0.0375  # PREDATOR overlap radius for 3DMatch
+
+
+def overlap_indices(
+    src: np.ndarray, tgt: np.ndarray, rot: np.ndarray, trans: np.ndarray,
+    radius: float = OVERLAP_RADIUS,
+) -> np.ndarray:
+    """Indices of src points with a tgt point within ``radius`` after GT
+    alignment — the KD-tree radius search of
+    `/root/reference/utils.py:94-108` on the host."""
+    from scipy.spatial import cKDTree
+
+    src_t = src @ rot.T + trans.reshape(3)
+    tree = cKDTree(tgt)
+    neighbors = tree.query_ball_point(src_t, radius)
+    return np.asarray([i for i, n in enumerate(neighbors) if n], dtype=np.int64)
+
+
+def make_pair_artifacts(
+    src: np.ndarray,
+    tgt: np.ndarray,
+    rot: np.ndarray,
+    trans: np.ndarray,
+    overlap_ind: Optional[np.ndarray] = None,
+    voxel_size: float = THREEDMATCH_VOXEL,
+) -> Dict[str, np.ndarray]:
+    """Voxel-downsampled pair + de-overlapped source + overlap ratio."""
+    if overlap_ind is None:
+        overlap_ind = overlap_indices(src, tgt, rot, trans)
+    overlap_ratio = len(overlap_ind) / max(len(src), 1)
+
+    non_overlap = np.setdiff1d(np.arange(len(src)), overlap_ind)
+    src_zero = src[non_overlap] if len(non_overlap) else src[:1]
+
+    T = np.eye(4)
+    T[:3, :3] = rot
+    T[:3, 3] = np.reshape(trans, 3)
+    return {
+        "src": voxel_downsample_np(src, voxel_size),
+        "tgt": voxel_downsample_np(tgt, voxel_size),
+        "src_zero": voxel_downsample_np(src_zero, voxel_size),
+        "T": T.astype(np.float64),
+        "overlap_ratio": overlap_ratio,
+    }
+
+
+def _save_triple(out_dir: str, item: int, src, tgt, T):
+    np.save(os.path.join(out_dir, f"src{item}.npy"), src)
+    np.save(os.path.join(out_dir, f"tgt{item}.npy"), tgt)
+    np.save(os.path.join(out_dir, f"T{item}.npy"), T)
+
+
+def save_train_split(pairs: Iterable[Tuple], out_dir: str,
+                     voxel_size: float = THREEDMATCH_VOXEL) -> int:
+    """Training artifacts: every pair, plus a zero-overlap copy for pairs with
+    overlap <= 0.3 (`/root/reference/process_3d_match.py:8-50`).
+
+    ``pairs`` yields ``(src, tgt, rot, trans[, overlap_ind])``.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    item = 0
+    for pair in pairs:
+        a = make_pair_artifacts(*pair, voxel_size=voxel_size)
+        _save_triple(out_dir, item, a["src"], a["tgt"], a["T"])
+        item += 1
+        if a["overlap_ratio"] <= 0.3:
+            _save_triple(out_dir, item, a["src_zero"], a["tgt"], a["T"])
+            item += 1
+    return item
+
+
+def save_test_splits(
+    pairs: Iterable[Tuple],
+    match_dir: Optional[str] = None,
+    lo_dir: Optional[str] = None,
+    zero_dir: Optional[str] = None,
+    voxel_size: float = THREEDMATCH_VOXEL,
+) -> Dict[str, int]:
+    """Test artifacts with the reference's overlap gates: match > 0.3,
+    lo > 0.1, zero <= 0.3 de-overlapped
+    (`/root/reference/process_3d_match.py:96-177`)."""
+    counts = {"match": 0, "lo": 0, "zero": 0}
+    for d in (match_dir, lo_dir, zero_dir):
+        if d:
+            os.makedirs(d, exist_ok=True)
+    for pair in pairs:
+        a = make_pair_artifacts(*pair, voxel_size=voxel_size)
+        r = a["overlap_ratio"]
+        if match_dir and r > 0.3:
+            _save_triple(match_dir, counts["match"], a["src"], a["tgt"], a["T"])
+            counts["match"] += 1
+        if lo_dir and r > 0.1:
+            _save_triple(lo_dir, counts["lo"], a["src"], a["tgt"], a["T"])
+            counts["lo"] += 1
+        if zero_dir and r <= 0.3:
+            _save_triple(zero_dir, counts["zero"], a["src_zero"], a["tgt"], a["T"])
+            counts["zero"] += 1
+    return counts
+
+
+def refine_gt_icp(
+    src: np.ndarray, tgt: np.ndarray, init_T: np.ndarray,
+    max_correspondence_distance: float = 0.2, max_iteration: int = 200,
+) -> np.ndarray:
+    """ICP-refined GT pose, the on-device stand-in for the reference's
+    Open3D refinement of KITTI odometry GT
+    (`/root/reference/datasets/kitti.py:105-126`, max_iter 50,000 — the jax
+    while_loop converges in far fewer fixed-shape iterations)."""
+    import jax.numpy as jnp
+
+    from scream_tpu.geometry.icp import registration_icp
+
+    res = registration_icp(
+        jnp.asarray(src, jnp.float32), jnp.asarray(tgt, jnp.float32),
+        max_correspondence_distance, init=jnp.asarray(init_T, jnp.float32),
+        max_iteration=max_iteration,
+    )
+    return np.asarray(res.transformation, dtype=np.float64)
+
+
+def save_kitti_split(pairs: Iterable[Tuple], out_dir: str,
+                     voxel_size: float = KITTI_VOXEL) -> int:
+    """KITTI artifacts at voxel 0.7 (`/root/reference/process_kitti.py:39-77`)."""
+    os.makedirs(out_dir, exist_ok=True)
+    item = 0
+    for src, tgt, rot, trans in pairs:
+        T = np.eye(4)
+        T[:3, :3] = rot
+        T[:3, 3] = np.reshape(trans, 3)
+        _save_triple(
+            out_dir, item,
+            voxel_downsample_np(src, voxel_size),
+            voxel_downsample_np(tgt, voxel_size),
+            T,
+        )
+        item += 1
+    return item
+
+
+# --- OpenGF tiling (`/root/reference/process_open_gf.py:70-261`) ---
+
+OPENGF_TILE = 100.0
+OPENGF_TRAIN_STRIDE = 25.0
+OPENGF_VOXEL = 1.0
+DSM_RADIUS = 0.8
+
+
+def extract_dsm(points: np.ndarray, dem: np.ndarray,
+                radius: float = DSM_RADIUS) -> np.ndarray:
+    """For each DEM point, the highest raw point within 2-D ``radius``.
+
+    Host KD-tree version of the reference's GPU loop
+    (`/root/reference/process_open_gf.py:217-231`).
+    """
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(points[:, :2])
+    out = np.empty_like(dem)
+    for i, p in enumerate(dem):
+        idx = tree.query_ball_point(p[:2], radius)
+        if idx:
+            cand = points[idx]
+            out[i] = cand[np.argmax(cand[:, 2])]
+        else:
+            out[i] = p
+    return out
+
+
+def tile_opengf_scene(
+    points: np.ndarray,
+    classes: np.ndarray,
+    ground_classes=(2,),
+    tile: float = OPENGF_TILE,
+    stride: Optional[float] = None,
+    voxel: float = OPENGF_VOXEL,
+) -> Iterable[Dict[str, np.ndarray]]:
+    """Tile a scene into ``tile``-meter patches; per tile voxel-downsample,
+    split ground (DEM) vs all (for DSM extraction), center, and yield
+    ``{dsm, dem, center}`` (`/root/reference/process_open_gf.py:70-261`).
+
+    ``stride`` defaults to non-overlapping tiles (test); pass 25.0 for the
+    overlapping train tiling.
+    """
+    stride = stride or tile
+    lo = points[:, :2].min(axis=0)
+    hi = points[:, :2].max(axis=0)
+    xs = np.arange(lo[0], hi[0] - tile / 2, stride)
+    ys = np.arange(lo[1], hi[1] - tile / 2, stride)
+    is_ground = np.isin(classes, ground_classes)
+
+    for x0 in xs:
+        for y0 in ys:
+            in_tile = (
+                (points[:, 0] >= x0) & (points[:, 0] < x0 + tile)
+                & (points[:, 1] >= y0) & (points[:, 1] < y0 + tile)
+            )
+            if in_tile.sum() < 100:
+                continue
+            tile_pts = points[in_tile]
+            tile_ground = points[in_tile & is_ground]
+            if len(tile_ground) < 50:
+                continue
+            dem = voxel_downsample_np(tile_ground, voxel)
+            dsm = extract_dsm(tile_pts, dem)
+            center = np.zeros(3)
+            center[:2] = [x0 + tile / 2, y0 + tile / 2]
+            yield {
+                "dsm": (dsm - center).astype(np.float32),
+                "dem": (dem - center).astype(np.float32),
+                "center": center[:2].astype(np.float32),
+            }
+
+
+def save_opengf_split(patches: Iterable[Dict[str, np.ndarray]], out_dir: str,
+                      save_centers: bool = False) -> int:
+    """Write ``[dsm | dem]`` concatenated patches (1-indexed) and optional
+    centers, the artifact layout OpenGFDataset reads
+    (`/root/reference/datasets/open_gf.py:18-28`)."""
+    os.makedirs(out_dir, exist_ok=True)
+    if save_centers:
+        os.makedirs(os.path.join(out_dir, "centers"), exist_ok=True)
+    n = 0
+    for patch in patches:
+        dsm, dem = patch["dsm"], patch["dem"]
+        m = min(len(dsm), len(dem))
+        block = np.concatenate([dsm[:m], dem[:m]], axis=1)
+        n += 1
+        np.save(os.path.join(out_dir, f"{n}.npy"), block)
+        if save_centers:
+            np.save(os.path.join(out_dir, "centers", f"{n}.npy"), patch["center"])
+    return n

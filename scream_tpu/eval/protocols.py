@@ -1,0 +1,235 @@
+"""Benchmark evaluation protocols: 3DMatch / 3DLoMatch / 3DZeroMatch, KITTI, OpenGF.
+
+TPU-native re-design of the reference's eval drivers, preserving every
+protocol detail (SURVEY.md §6):
+
+  * `/root/reference/evaluate_3d_match.py:53-195` — registration recall is
+    redwood RMSE < 0.2; per-scene statistics only count pairs with frame-index
+    gap > 1 (PREDATOR protocol); per-scene RRE/RTE is the median of successful
+    pairs (3DMatch/3DLoMatch) or mean (3DZeroMatch); the reported RRE/RTE/RR
+    are means over the 8 test scenes. Thresholds: NN squared-distance 0.1
+    (match/lo) vs 0.2 + corr="src_pred" (zero); ICP distance 0.1.
+  * `/root/reference/evaluate_kitti.py:20-111` — success iff RE <= 5 deg and
+    TE <= 2 m; NN threshold 1.5, ICP threshold 1.0; eval items 124 and 142
+    skipped.
+  * `/root/reference/evaluate_open_gf.py:44-76` — chamfer / height MAE /
+    height MSE, all x1000.
+
+The inner loop is the batched on-device `register_batch`; this module only
+accumulates host-side statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from scream_tpu.config import EvalConfig
+from scream_tpu.pipeline.register import register_batch
+
+# Scene display names in scene-index order
+# (`/root/reference/evaluate_3d_match.py:61`).
+SCENE_NAMES = [
+    "Kitchen", "Home_1", "Home_2", "Hotel_1", "Hotel_2", "Hotel_3",
+    "Study", "MIT_Lab",
+]
+
+
+class SkipDataset:
+    """Dataset view that drops the given indices.
+
+    The KITTI eval skips items 124 and 142
+    (`/root/reference/evaluate_kitti.py:31-34`).
+    """
+
+    def __init__(self, dataset, skip: Sequence[int]):
+        self._dataset = dataset
+        self._index = [i for i in range(len(dataset)) if i not in set(skip)]
+
+    def __len__(self):
+        return len(self._index)
+
+    def __getitem__(self, i):
+        return self._dataset[self._index[i]]
+
+
+def _to_device(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def evaluate_registration_per_scene(
+    apply_fn: Callable,
+    params,
+    loader,
+    dis_thresh: float = 0.1,
+    corr: str = "tgt",
+    icp_thresh: float = 0.1,
+    icp_max_iter: int = 30,
+    re_stat: str = "median",
+    rmse_thresh: float = 0.2,
+    n_scenes: int = 8,
+) -> Dict[str, float]:
+    """The 3DMatch-family benchmark with per-scene aggregation.
+
+    The loader must yield batches carrying ``idx``, ``covariance`` and
+    ``scene`` sidecars. Returns overall and per-scene RR/RRE/RTE.
+    """
+    scene_re = [[] for _ in range(n_scenes)]
+    scene_te = [[] for _ in range(n_scenes)]
+    scene_success = np.zeros(n_scenes, dtype=np.int64)
+    scene_valid = np.zeros(n_scenes, dtype=np.int64)
+    total = 0
+    success_total = 0
+    sum_re, sum_te = 0.0, 0.0
+
+    for batch in loader:
+        dev = _to_device(batch)
+        m = register_batch(
+            apply_fn, params, dev,
+            dis_thresh=dis_thresh, corr=corr,
+            icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
+        )
+        re = np.asarray(m.re_deg)
+        te = np.asarray(m.te)
+        rmse = np.asarray(m.rmse)
+        idx = np.asarray(batch["idx"])
+        scene = np.asarray(batch["scene"])
+
+        ok = rmse < rmse_thresh
+        total += len(re)
+        success_total += int(ok.sum())
+        sum_re += float(re[ok].sum())
+        sum_te += float(te[ok].sum())
+
+        # PREDATOR protocol: per-scene stats only for |idx1 - idx0| > 1
+        # (`/root/reference/evaluate_3d_match.py:128-138`).
+        gap = np.abs(idx[:, 1] - idx[:, 0]) > 1
+        for i in range(len(re)):
+            if not gap[i]:
+                continue
+            s = int(scene[i])
+            scene_valid[s] += 1
+            if ok[i]:
+                scene_success[s] += 1
+                scene_re[s].append(float(re[i]))
+                scene_te[s].append(float(te[i]))
+
+    stat = np.median if re_stat == "median" else np.mean
+    per_scene_rr, per_scene_re, per_scene_te = [], [], []
+    for s in range(n_scenes):
+        if scene_valid[s] == 0:
+            continue
+        per_scene_rr.append(scene_success[s] / scene_valid[s])
+        if scene_re[s]:
+            per_scene_re.append(float(stat(scene_re[s])))
+            per_scene_te.append(float(stat(scene_te[s])))
+
+    out = {
+        "registration_recall": float(np.mean(per_scene_rr)) if per_scene_rr else 0.0,
+        "rre": float(np.mean(per_scene_re)) if per_scene_re else 0.0,
+        "rte": float(np.mean(per_scene_te)) if per_scene_te else 0.0,
+        "pair_recall": success_total / max(total, 1),
+        "success_rre": sum_re / max(success_total, 1),
+        "success_rte": sum_te / max(success_total, 1),
+        "n_pairs": total,
+    }
+    for s in range(n_scenes):
+        if scene_valid[s]:
+            out[f"rr/{SCENE_NAMES[s]}"] = scene_success[s] / scene_valid[s]
+    return out
+
+
+def evaluate_3d_match(apply_fn, params, loader, dis_thresh: float = 0.1):
+    """3DMatch: NN sq-thresh 0.1, corr in tgt, median per-scene stats
+    (`/root/reference/evaluate_3d_match.py:174-178`)."""
+    return evaluate_registration_per_scene(
+        apply_fn, params, loader, dis_thresh=dis_thresh, corr="tgt",
+        re_stat="median",
+    )
+
+
+def evaluate_3d_lo_match(apply_fn, params, loader, dis_thresh: float = 0.1):
+    """3DLoMatch: same thresholds as 3DMatch
+    (`/root/reference/evaluate_3d_match.py:180-183`)."""
+    return evaluate_registration_per_scene(
+        apply_fn, params, loader, dis_thresh=dis_thresh, corr="tgt",
+        re_stat="median",
+    )
+
+
+def evaluate_3d_zero_match(apply_fn, params, loader, dis_thresh: float = 0.2):
+    """3DZeroMatch: corr = src_pred itself, thresh 0.2, mean per-scene stats
+    (`/root/reference/evaluate_3d_match.py:193-195`)."""
+    return evaluate_registration_per_scene(
+        apply_fn, params, loader, dis_thresh=dis_thresh, corr="src_pred",
+        re_stat="mean",
+    )
+
+
+def evaluate_kitti(
+    apply_fn,
+    params,
+    loader,
+    dis_thresh: float = 1.5,
+    icp_thresh: float = 1.0,
+    icp_max_iter: int = 30,
+    success_re_deg: float = 5.0,
+    success_te: float = 2.0,
+) -> Dict[str, float]:
+    """KITTI success-rate protocol (`/root/reference/evaluate_kitti.py:20-111`).
+
+    Build the loader over ``SkipDataset(dataset, (124, 142))`` to reproduce
+    the reference's skipped items.
+    """
+    total = 0
+    succ, succ_re, succ_te = 0, 0.0, 0.0
+    for batch in loader:
+        dev = _to_device(batch)
+        m = register_batch(
+            apply_fn, params, dev,
+            dis_thresh=dis_thresh, corr="tgt",
+            icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
+        )
+        re = np.asarray(m.re_deg)
+        te = np.asarray(m.te)
+        ok = (re <= success_re_deg) & (te <= success_te)
+        total += len(re)
+        succ += int(ok.sum())
+        succ_re += float(re[ok].sum())
+        succ_te += float(te[ok].sum())
+    return {
+        "success_rate": succ / max(total, 1),
+        "success_rre": succ_re / max(succ, 1),
+        "success_rte": succ_te / max(succ, 1),
+        "n_pairs": total,
+    }
+
+
+def evaluate_open_gf(apply_fn, params, loader) -> Dict[str, float]:
+    """OpenGF DEM-generation metrics x1000
+    (`/root/reference/evaluate_open_gf.py:44-76`)."""
+    from scream_tpu.geometry.metrics import chamfer_distance, height_mae, height_mse
+
+    tot_cd, tot_mae, tot_mse, n = 0.0, 0.0, 0.0, 0
+    for batch in loader:
+        dev = _to_device(batch)
+        dem_pred = apply_fn(
+            params, dev["dsm"], dev["dem_coarse"],
+            dev["dsm_mask"], dev["dem_coarse_mask"],
+        ).astype(jnp.float32)
+        cd = chamfer_distance(dem_pred, dev["dem"], dev["dsm_mask"], dev["dem_mask"])
+        mae = height_mae(dem_pred, dev["dem"], dev["dsm_mask"] & dev["dem_mask"])
+        mse = height_mse(dem_pred, dev["dem"], dev["dsm_mask"] & dev["dem_mask"])
+        b = int(cd.shape[0])
+        tot_cd += float(jnp.sum(cd))
+        tot_mae += float(jnp.sum(mae))
+        tot_mse += float(jnp.sum(mse))
+        n += b
+    return {
+        "chamfer_x1000": tot_cd / max(n, 1) * 1000.0,
+        "height_mae_x1000": tot_mae / max(n, 1) * 1000.0,
+        "height_mse_x1000": tot_mse / max(n, 1) * 1000.0,
+        "n_patches": n,
+    }

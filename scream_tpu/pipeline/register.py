@@ -161,6 +161,11 @@ def register_batch(
     src_center) -> src_pred`` is the jittable model forward. As in the
     reference protocol, ``src_center`` is the GT-derived hint
     (`/root/reference/evaluate_3d_match.py:84`).
+
+    ``apply_fn`` is a *static* jit argument: any array it closes over is baked
+    into the compiled executable at trace time and silently reused for later
+    batches. Thread per-batch data through ``params`` or ``batch``, never
+    through the closure.
     """
     src, tgt = batch["src"], batch["tgt"]
     src_mask, tgt_mask = batch["src_mask"], batch["tgt_mask"]

@@ -1,9 +1,11 @@
-"""Utilities: checkpointing, logging, timers."""
+"""Utilities: checkpointing, logging, timers, visualization."""
 
+from scream_tpu.utils import viz
 from scream_tpu.utils.checkpoint import BestCheckpointer, load_params, save_params
 from scream_tpu.utils.logging import MetricsLogger, StepTimer, progressbar
 
 __all__ = [
+    "viz",
     "BestCheckpointer",
     "load_params",
     "save_params",

@@ -1,0 +1,141 @@
+"""Eval protocols with an oracle model: perfect predictions -> perfect recall.
+
+The oracle must not close over per-batch GT: ``apply_fn`` is a static jit
+argument of ``register_batch``, so closed-over arrays are baked in at trace
+time and silently reused for later batches. Instead the test datasets carry
+an identity GT (src already registered), so the oracle is simply the identity
+function.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from scream_tpu.data import DEMLoader, PairLoader, SyntheticPairDataset
+from scream_tpu.data import transforms
+from scream_tpu.data.synthetic import make_dem_patch, make_pair
+from scream_tpu.eval import (
+    SkipDataset,
+    evaluate_3d_match,
+    evaluate_3d_zero_match,
+    evaluate_kitti,
+    evaluate_open_gf,
+)
+
+
+def _identity_oracle(params, src, tgt, src_mask, tgt_mask, src_center):
+    """Perfect model under identity GT: the prediction is the source itself."""
+    return src
+
+
+class IdentityGTPairs:
+    """Synthetic pairs pre-registered into the target frame: GT = identity.
+
+    Same item schema as SyntheticPairDataset (with info sidecars), but
+    ``src`` is already in the target frame and rot/trans are I/0, so a
+    closure-free oracle can predict perfectly.
+    """
+
+    def __init__(self, length=8, n_src=128, n_tgt=160, overlap=0.9, seed=21,
+                 normalize="unit_sphere", with_info=True):
+        self.length, self.n_src, self.n_tgt = length, n_src, n_tgt
+        self.overlap, self.seed = overlap, seed
+        self.normalize, self.with_info = normalize, with_info
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, item):
+        rng = np.random.default_rng(self.seed * 7919 + item)
+        pair = make_pair(rng, self.n_src, self.n_tgt, overlap=self.overlap)
+        src_world = pair["src"] @ pair["rot"].T + pair["trans"].reshape(3)
+        rot = np.eye(3)
+        trans = np.zeros((3, 1))
+        norm = (
+            transforms.normalize_unit_sphere
+            if self.normalize == "unit_sphere"
+            else transforms.normalize_unit_cube
+        )
+        src_n, tgt_n, trans_n, s, c = norm(src_world, pair["tgt"], rot, trans)
+        out = {
+            "src": src_n.astype(np.float32),
+            "tgt": tgt_n.astype(np.float32),
+            "rot": rot.astype(np.float32),
+            "trans": trans_n.astype(np.float32),
+            "scale": np.float32(s),
+            "center": c.astype(np.float32),
+        }
+        if self.with_info:
+            out["idx"] = np.array([item * 3, item * 3 + 2], np.int32)
+            out["covariance"] = np.eye(6, dtype=np.float32) * float(self.n_src)
+            out["scene"] = np.int32(item % 8)
+        return out
+
+
+def _loader(n=8, **kw):
+    ds = IdentityGTPairs(length=n, **kw)
+    return PairLoader(ds, batch_size=4, src_capacity=128, tgt_capacity=160,
+                      num_workers=0)
+
+
+class TestThreeDMatchProtocol:
+    def test_oracle_full_recall_zero_match_mode(self):
+        out = evaluate_3d_zero_match(_identity_oracle, None, _loader(),
+                                     dis_thresh=10.0)
+        assert out["registration_recall"] == 1.0
+        assert out["n_pairs"] == 8
+        assert out["rre"] < 0.1 and out["rte"] < 1e-3
+
+    def test_oracle_recall_tgt_mode(self):
+        """corr="tgt" pairs with subsampled scene points (noise up to the NN
+        threshold): bookkeeping exact, recovery approximate."""
+        out = evaluate_3d_match(_identity_oracle, None, _loader())
+        assert out["registration_recall"] >= 0.5
+        assert out["n_pairs"] == 8
+        assert np.isfinite(out["rre"]) and np.isfinite(out["rte"])
+
+    def test_per_scene_keys_and_idx_gap_filter(self):
+        out = evaluate_3d_match(_identity_oracle, None, _loader())
+        scene_keys = [k for k in out if k.startswith("rr/")]
+        assert len(scene_keys) == 8  # 8 items -> one pair per scene, gap 2 > 1
+
+
+class TestKitti:
+    def test_skip_dataset(self):
+        ds = SyntheticPairDataset(length=10, n_src=32, n_tgt=32)
+        sd = SkipDataset(ds, (2, 5))
+        assert len(sd) == 8
+
+    def test_oracle_success(self):
+        ds = IdentityGTPairs(length=4, n_src=128, n_tgt=128, overlap=0.9,
+                             seed=5, normalize="unit_cube", with_info=False)
+        loader = PairLoader(ds, batch_size=4, src_capacity=128, num_workers=0)
+        out = evaluate_kitti(_identity_oracle, None, loader,
+                             dis_thresh=10.0, icp_thresh=0.5)
+        assert out["success_rate"] == 1.0
+        assert out["n_pairs"] == 4
+
+
+class TestOpenGF:
+    def test_oracle_metrics(self):
+        class DemDs:
+            """DEM prediction == DSM ground-truth trick: dsm := dem so the
+            identity apply is a perfect predictor."""
+
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                p = make_dem_patch(np.random.default_rng(i), n_dsm=64, n_dem=64)
+                p["dsm"] = p["dem"].copy()
+                return p
+
+        loader = DEMLoader(DemDs(), batch_size=2, dsm_capacity=64,
+                           dem_capacity=64, coarse_capacity=16, num_workers=0)
+
+        def apply_fn(params, dsm, coarse, dsm_mask, coarse_mask):
+            return dsm
+
+        out = evaluate_open_gf(apply_fn, None, loader)
+        assert out["chamfer_x1000"] < 1e-4
+        assert out["height_mae_x1000"] < 1e-4
+        assert out["n_patches"] == 4

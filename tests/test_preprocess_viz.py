@@ -1,0 +1,140 @@
+"""Offline preprocessors (overlap gates, artifact layout) and host viz."""
+
+import os
+
+import numpy as np
+import pytest
+
+from scream_tpu.data import PairDataset, OpenGFDataset
+from scream_tpu.data.preprocess import (
+    extract_dsm,
+    make_pair_artifacts,
+    overlap_indices,
+    save_opengf_split,
+    save_test_splits,
+    save_train_split,
+    tile_opengf_scene,
+)
+from scream_tpu.data.synthetic import make_pair
+from scream_tpu.utils import viz
+
+
+def _raw_pairs(n, overlap, seed=0, with_ind=False):
+    """Synthetic raw pairs; optionally precompute overlap indices at a radius
+    matched to the unit-scale synthetic scenes (the default 0.0375 radius is
+    calibrated to 3DMatch meters)."""
+    out = []
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        p = make_pair(rng, 400, 400, overlap=overlap)
+        pair = (p["src"], p["tgt"], p["rot"], p["trans"])
+        if with_ind:
+            pair = pair + (overlap_indices(*pair, radius=0.15),)
+        out.append(pair)
+    return out
+
+
+class TestOverlap:
+    def test_full_overlap_high_ratio(self):
+        (src, tgt, rot, trans) = _raw_pairs(1, overlap=1.0)[0]
+        ind = overlap_indices(src, tgt, rot, trans, radius=0.1)
+        assert len(ind) / len(src) > 0.5
+
+    def test_zero_overlap_low_ratio(self):
+        (src, tgt, rot, trans) = _raw_pairs(1, overlap=0.0)[0]
+        ind = overlap_indices(src, tgt, rot, trans, radius=0.05)
+        assert len(ind) / len(src) < 0.4
+
+    def test_artifacts_shapes(self):
+        (src, tgt, rot, trans) = _raw_pairs(1, overlap=0.8)[0]
+        a = make_pair_artifacts(src, tgt, rot, trans, voxel_size=0.1)
+        assert a["src"].shape[1] == 3 and a["src"].shape[0] <= len(src)
+        assert a["T"].shape == (4, 4)
+        assert 0.0 <= a["overlap_ratio"] <= 1.0
+
+
+class TestSplitRules:
+    def test_train_emits_zero_copies(self, tmp_path):
+        pairs = _raw_pairs(2, overlap=0.1, with_ind=True) + _raw_pairs(
+            2, overlap=0.9, seed=50, with_ind=True)
+        n = save_train_split(iter(pairs), str(tmp_path / "train"), voxel_size=0.05)
+        # low-overlap pairs emit 2 artifacts each (pair + de-overlapped copy)
+        assert n >= 5
+        ds = PairDataset(str(tmp_path), "train")
+        assert len(ds) == n
+        item = ds[0]
+        assert item["src"].shape[1] == 3 and item["trans"].shape == (3, 1)
+
+    def test_test_split_gates(self, tmp_path):
+        pairs = _raw_pairs(2, overlap=0.05, seed=9, with_ind=True) + _raw_pairs(
+            2, overlap=0.95, seed=90, with_ind=True)
+        counts = save_test_splits(
+            iter(pairs),
+            match_dir=str(tmp_path / "match"),
+            lo_dir=str(tmp_path / "lo"),
+            zero_dir=str(tmp_path / "zero"),
+            voxel_size=0.05,
+        )
+        # high-overlap pairs pass match+lo; low-overlap pass zero
+        assert counts["match"] >= 1
+        assert counts["zero"] >= 1
+        assert counts["match"] + counts["zero"] >= 3
+
+
+class TestOpenGFPreprocess:
+    def test_extract_dsm_picks_highest(self):
+        dem = np.array([[0.0, 0.0, 0.0], [5.0, 5.0, 0.1]])
+        pts = np.array([
+            [0.1, 0.1, 2.0],   # near dem[0], high
+            [0.2, -0.1, 0.5],  # near dem[0], lower
+            [5.0, 5.1, 0.3],   # near dem[1]
+        ])
+        dsm = extract_dsm(pts, dem, radius=0.8)
+        assert dsm[0][2] == 2.0
+        assert dsm[1][2] == 0.3
+
+    def test_tile_and_save_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(0, 220, (20000, 3)) * np.array([1, 1, 0.05])
+        classes = (rng.random(20000) < 0.6) * 2  # ~60% ground (class 2)
+        patches = list(tile_opengf_scene(pts, classes, tile=100.0, voxel=5.0))
+        assert len(patches) >= 4  # 220m scene -> 2x2 non-overlapping tiles
+        n = save_opengf_split(iter(patches), str(tmp_path / "OpenGF_test"),
+                              save_centers=True)
+        ds = OpenGFDataset(str(tmp_path), "test", with_centers=True)
+        assert len(ds) == n
+        item = ds[0]
+        assert item["dsm"].shape[1] == 3
+        assert item["dem_coarse"].shape[0] <= item["dem"].shape[0]
+        assert "center" in item
+
+
+class TestViz:
+    def test_depth_images_to_rgb(self):
+        imgs = np.zeros((3, 2, 8, 8), np.float32) - 1.0
+        imgs[:, 0, :4] = 1.0  # src bright in top half
+        rgb = viz.depth_images_to_rgb(imgs)
+        assert rgb.shape == (3, 8, 8, 3) and rgb.dtype == np.uint8
+        # top half src yellow-ish (r > b), bottom dark
+        assert rgb[0, 0, 0, 0] > rgb[0, 0, 0, 2]
+        assert rgb[0, 7, 0].max() <= 1
+
+    def test_plot_functions_save(self, tmp_path, rng):
+        src = rng.standard_normal((50, 3))
+        tgt = rng.standard_normal((60, 3))
+        T = np.eye(4)
+        viz.plot_registration(src, tgt, T, path=str(tmp_path / "reg.png"))
+        viz.plot_correspondences(src, tgt, [0, 1], [2, 3],
+                                 path=str(tmp_path / "corr.png"))
+        viz.plot_dem_height(src, path=str(tmp_path / "dem.png"))
+        viz.save_depth_image_grid(np.zeros((2, 2, 8, 8)), str(tmp_path / "grid.png"))
+        for f in ("reg.png", "corr.png", "dem.png", "grid.png"):
+            assert (tmp_path / f).stat().st_size > 0
+
+    def test_stitch_patches(self):
+        p1 = np.zeros((4, 3))
+        p2 = np.zeros((4, 3))
+        out = viz.stitch_patches([p1, p2], [np.array([0, 0]), np.array([100, 0])],
+                                 scale_factor=1.0)
+        assert out.shape == (8, 3)
+        assert out[4:, 0].min() == 100
