@@ -1,0 +1,350 @@
+"""Command-line interface: train / evaluate / preprocess / bench / visualize.
+
+The reference has no CLI — every mode switch means editing module constants
+or commenting ``__main__`` blocks (`/root/reference/train_3d_match.py:236-239`,
+`/root/reference/evaluate_3d_match.py:193-195`, SURVEY.md §5). Here one typed
+entry point drives all tasks off the dataclass presets in
+`scream_tpu/config.py`:
+
+    python -m scream_tpu train 3dmatch --root data --epochs 45
+    python -m scream_tpu evaluate 3dlomatch --params checkpoints/best
+    python -m scream_tpu preprocess kitti --root /data/kitti --out data
+    python -m scream_tpu bench
+    python -m scream_tpu visualize --split 3DMatch_test --root data --item 0
+
+When the preprocessed data directory is absent, train/evaluate fall back to
+the synthetic dataset so every command runs end-to-end out of the box.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from typing import Optional
+
+from scream_tpu.config import (
+    kitti_presets,
+    opengf_presets,
+    threedmatch_presets,
+)
+
+TASKS = {"3dmatch": threedmatch_presets, "kitti": kitti_presets, "opengf": opengf_presets}
+EVAL_SPLITS = {
+    "3dmatch": ("3DMatch_test", "unit_sphere"),
+    "3dlomatch": ("3DLoMatch_test", "unit_sphere"),
+    "3dzeromatch": ("3DZeroMatch_test", "unit_sphere"),
+    "kitti": ("KITTI_test", "unit_cube"),
+    "opengf": ("OpenGF_test", None),
+}
+
+
+def _registration_loaders(task, data_cfg, train_cfg, root, synthetic_len=64):
+    from scream_tpu.data import PairDataset, PairLoader, SyntheticPairDataset
+
+    split_train = "3DMatch_train" if task == "3dmatch" else "KITTI_train"
+    split_val = "3DMatch_val" if task == "3dmatch" else "KITTI_val"
+    cap = data_cfg.max_points
+
+    def make(split, augment):
+        path = os.path.join(root, split)
+        if os.path.isdir(path):
+            ds = PairDataset(
+                root, split, normalize=data_cfg.normalize, augment=augment,
+                perturb_both_sides=data_cfg.perturb_both_sides,
+                jitter_std=data_cfg.augment_jitter_std,
+            )
+        else:
+            print(f"[cli] {path} not found; using synthetic pairs", file=sys.stderr)
+            ds = SyntheticPairDataset(
+                length=synthetic_len, n_src=cap // 2, n_tgt=cap // 2,
+                normalize=data_cfg.normalize, augment=augment,
+            )
+        return PairLoader(
+            ds, batch_size=train_cfg.batch_size, src_capacity=cap,
+            shuffle=augment, drop_last=augment,
+        )
+
+    return make(split_train, True), make(split_val, False)
+
+
+def cmd_train(args):
+    model_cfg, train_cfg, data_cfg, eval_cfg = TASKS[args.task]()
+    if args.epochs:
+        train_cfg = dataclasses.replace(train_cfg, epochs=args.epochs)
+    if args.batch_size:
+        train_cfg = dataclasses.replace(train_cfg, batch_size=args.batch_size)
+    if args.gan:
+        train_cfg = dataclasses.replace(train_cfg, use_gan=True)
+
+    if args.task == "opengf":
+        from scream_tpu.data import DEMLoader, OpenGFDataset
+        from scream_tpu.data.synthetic import make_dem_patch
+        from scream_tpu.train import DEMTrainer
+
+        root = args.root
+        if os.path.isdir(os.path.join(root, "OpenGF_train")):
+            tr_ds = OpenGFDataset(root, "train")
+            va_ds = OpenGFDataset(root, "val")
+        else:
+            print("[cli] OpenGF data not found; using synthetic patches", file=sys.stderr)
+            import numpy as np
+
+            class _Synth:
+                def __init__(self, n):
+                    self.n = n
+
+                def __len__(self):
+                    return self.n
+
+                def __getitem__(self, i):
+                    return make_dem_patch(np.random.default_rng(i),
+                                          n_dsm=data_cfg.max_points // 4,
+                                          n_dem=data_cfg.max_points // 4)
+
+            tr_ds, va_ds = _Synth(32), _Synth(8)
+        cap = data_cfg.max_points
+        mk = lambda ds, sh: DEMLoader(ds, batch_size=train_cfg.batch_size,
+                                      dsm_capacity=cap, dem_capacity=cap,
+                                      coarse_capacity=max(cap // 8, 64),
+                                      shuffle=sh, drop_last=sh)
+        trainer = DEMTrainer(mk(tr_ds, True), mk(va_ds, False),
+                             model_cfg=model_cfg, train_cfg=train_cfg,
+                             checkpoint_dir=args.checkpoint_dir)
+    else:
+        from scream_tpu.train import RegistrationTrainer
+
+        train_loader, val_loader = _registration_loaders(
+            args.task, data_cfg, train_cfg, args.root
+        )
+        trainer = RegistrationTrainer(
+            train_loader, val_loader,
+            model_cfg=model_cfg, train_cfg=train_cfg, eval_cfg=eval_cfg,
+            decay_mode="kitti" if args.task == "kitti" else "every15",
+            checkpoint_dir=args.checkpoint_dir,
+        )
+    trainer.init()
+    final = trainer.fit()
+    print(json.dumps({"final_val": final}))
+
+
+def _load_model_params(task, model_cfg, params_dir, sample_batch):
+    import jax
+
+    if task == "opengf":
+        from scream_tpu.models.point_transformer import DEMTransformer
+
+        model = DEMTransformer(model_cfg)
+        init = model.init(
+            jax.random.PRNGKey(0), sample_batch["dsm"], sample_batch["dem_coarse"],
+            sample_batch["dsm_mask"], sample_batch["dem_coarse_mask"],
+        )["params"]
+
+        def apply_fn(params, dsm, coarse, dsm_mask, coarse_mask):
+            return model.apply({"params": params}, dsm, coarse, dsm_mask, coarse_mask)
+    else:
+        import jax.numpy as jnp
+
+        from scream_tpu.models.point_transformer import PointTransformer
+
+        model = PointTransformer(model_cfg)
+        init = model.init(
+            jax.random.PRNGKey(0), sample_batch["src"], sample_batch["tgt"],
+            sample_batch["src_mask"], sample_batch["tgt_mask"],
+            jnp.swapaxes(sample_batch["trans"], -1, -2),
+        )["params"]
+
+        def apply_fn(params, src, tgt, src_mask, tgt_mask, src_center):
+            return model.apply({"params": params}, src, tgt, src_mask, tgt_mask,
+                               src_center)
+
+    if params_dir:
+        from scream_tpu.utils.checkpoint import load_params
+
+        params = load_params(params_dir, init)
+    else:
+        print("[cli] no --params given; evaluating a randomly initialized model",
+              file=sys.stderr)
+        params = init
+    return apply_fn, params
+
+
+def cmd_evaluate(args):
+    import jax.numpy as jnp
+
+    task = "opengf" if args.protocol == "opengf" else (
+        "kitti" if args.protocol == "kitti" else "3dmatch"
+    )
+    model_cfg, train_cfg, data_cfg, eval_cfg = TASKS[task]()
+    split, normalize = EVAL_SPLITS[args.protocol]
+    root = args.root
+    cap = data_cfg.max_points
+
+    from scream_tpu.data import (
+        DEMLoader,
+        OpenGFDataset,
+        PairDataset,
+        PairLoader,
+        SyntheticPairDataset,
+    )
+    from scream_tpu import eval as protocols
+
+    if args.protocol == "opengf":
+        if os.path.isdir(os.path.join(root, "OpenGF_test")):
+            ds = OpenGFDataset(root, "test")
+        else:
+            print("[cli] OpenGF data not found; synthetic patches", file=sys.stderr)
+            import numpy as np
+
+            from scream_tpu.data.synthetic import make_dem_patch
+
+            class _S:
+                def __len__(self):
+                    return 8
+
+                def __getitem__(self, i):
+                    return make_dem_patch(np.random.default_rng(i), 256, 256)
+
+            ds = _S()
+        loader = DEMLoader(ds, batch_size=args.batch_size, dsm_capacity=cap,
+                           dem_capacity=cap, coarse_capacity=max(cap // 8, 64))
+        batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+        apply_fn, params = _load_model_params("opengf", model_cfg, args.params, batch)
+        out = protocols.evaluate_open_gf(apply_fn, params, loader)
+    else:
+        if os.path.isdir(os.path.join(root, split)):
+            ds = PairDataset(root, split, normalize=normalize,
+                             with_info=args.protocol.startswith("3d"))
+        else:
+            print(f"[cli] {split} not found; synthetic pairs", file=sys.stderr)
+            ds = SyntheticPairDataset(length=16, n_src=cap // 2, n_tgt=cap // 2,
+                                      normalize=normalize,
+                                      with_info=args.protocol.startswith("3d"))
+        if args.protocol == "kitti" and not isinstance(ds, SyntheticPairDataset):
+            ds = protocols.SkipDataset(ds, (124, 142))
+        loader = PairLoader(ds, batch_size=args.batch_size, src_capacity=cap)
+        batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+        apply_fn, params = _load_model_params(task, model_cfg, args.params, batch)
+
+        fn = {
+            "3dmatch": protocols.evaluate_3d_match,
+            "3dlomatch": protocols.evaluate_3d_lo_match,
+            "3dzeromatch": protocols.evaluate_3d_zero_match,
+        }.get(args.protocol)
+        if fn is not None:
+            out = fn(apply_fn, params, loader)
+        else:
+            out = protocols.evaluate_kitti(
+                apply_fn, params, loader,
+                dis_thresh=eval_cfg.dis_thresh, icp_thresh=eval_cfg.icp_thresh,
+            )
+    print(json.dumps({k: v for k, v in out.items()}, default=float))
+
+
+def cmd_preprocess(args):
+    from scream_tpu.data import preprocess as pp
+
+    if args.task == "kitti":
+        from scream_tpu.data.raw import KittiOdometry
+
+        for mode in ("train", "val", "test"):
+            ds = KittiOdometry(args.root, mode=mode)
+            pairs = ((it["src"], it["tgt"], it["rot"], it["trans"])
+                     for it in (ds[i] for i in range(len(ds))))
+            n = pp.save_kitti_split(pairs, os.path.join(args.out, f"KITTI_{mode}"))
+            print(f"KITTI_{mode}: {n} pairs")
+    elif args.task == "3dmatch":
+        from scream_tpu.data.raw import ThreeDMatchPredator, save_info_sidecars
+
+        pkl_dir = os.path.join(args.root, "indoor")
+        for mode, pkl, out_split in (
+            ("train", "train_info.pkl", "3DMatch_train"),
+            ("val", "val_info.pkl", "3DMatch_val"),
+        ):
+            pkl_path = os.path.join(pkl_dir, pkl)
+            if not os.path.exists(pkl_path):
+                print(f"skip {mode}: {pkl_path} missing")
+                continue
+            ds = ThreeDMatchPredator(args.root, pkl_path)
+            pairs = ((it["src"], it["tgt"], it["rot"], it["trans"], it["overlap_ind"])
+                     for it in (ds[i] for i in range(len(ds))))
+            n = pp.save_train_split(pairs, os.path.join(args.out, out_split))
+            print(f"{out_split}: {n} pairs")
+    else:
+        raise SystemExit("preprocess supports: 3dmatch, kitti (OpenGF: use "
+                         "scream_tpu.data.preprocess.tile_opengf_scene on your .laz-"
+                         "converted arrays)")
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def cmd_visualize(args):
+    import numpy as np
+
+    from scream_tpu.data import PairDataset
+    from scream_tpu.utils import viz
+
+    ds = PairDataset(args.root, args.split, with_info=False)
+    item = ds[args.item]
+    T = np.eye(4)
+    T[:3, :3] = item["rot"]
+    T[:3, 3] = item["trans"].reshape(3)
+    os.makedirs(args.out, exist_ok=True)
+    before = os.path.join(args.out, f"{args.split}_{args.item}_before.png")
+    after = os.path.join(args.out, f"{args.split}_{args.item}_registered.png")
+    viz.plot_registration(item["src"], item["tgt"], None, path=before)
+    viz.plot_registration(item["src"], item["tgt"], T, path=after)
+    print(json.dumps({"before": before, "registered": after}))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="scream_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a model")
+    t.add_argument("task", choices=sorted(TASKS))
+    t.add_argument("--root", default="data")
+    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--batch-size", type=int, default=None)
+    t.add_argument("--gan", action="store_true")
+    t.add_argument("--checkpoint-dir", default="checkpoints")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("evaluate", help="run a benchmark protocol")
+    e.add_argument("protocol", choices=sorted(EVAL_SPLITS))
+    e.add_argument("--root", default="data")
+    e.add_argument("--params", default=None, help="orbax params dir")
+    e.add_argument("--batch-size", type=int, default=8)
+    e.set_defaults(fn=cmd_evaluate)
+
+    pr = sub.add_parser("preprocess", help="raw data -> .npy artifacts")
+    pr.add_argument("task", choices=["3dmatch", "kitti", "opengf"])
+    pr.add_argument("--root", required=True)
+    pr.add_argument("--out", default="data")
+    pr.set_defaults(fn=cmd_preprocess)
+
+    b = sub.add_parser("bench", help="run the throughput benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    v = sub.add_parser("visualize", help="render a pair to PNGs")
+    v.add_argument("--root", default="data")
+    v.add_argument("--split", default="3DMatch_test")
+    v.add_argument("--item", type=int, default=0)
+    v.add_argument("--out", default="viz_out")
+    v.set_defaults(fn=cmd_visualize)
+    return p
+
+
+def main(argv: Optional[list] = None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

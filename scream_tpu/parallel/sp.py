@@ -21,7 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def _local_linear_attention(q, k, v, q_mask, kv_mask, eps, axis_name):
@@ -82,6 +82,5 @@ def sequence_parallel_linear_attention(
         mesh=mesh,
         in_specs=(spec_seq, spec_seq, spec_seq, spec_mask, spec_mask),
         out_specs=spec_seq,
-        check_rep=False,
     )
     return fn(q, k, v, q_mask, kv_mask)

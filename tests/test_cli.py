@@ -1,0 +1,65 @@
+"""CLI smoke: train/evaluate on synthetic fallback, visualize on artifacts."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from scream_tpu.cli import build_parser, main
+
+
+class TestParser:
+    def test_subcommands(self):
+        p = build_parser()
+        args = p.parse_args(["train", "3dmatch", "--epochs", "2"])
+        assert args.task == "3dmatch" and args.epochs == 2
+        args = p.parse_args(["evaluate", "3dzeromatch", "--batch-size", "4"])
+        assert args.protocol == "3dzeromatch"
+        with pytest.raises(SystemExit):
+            p.parse_args(["train", "nope"])
+
+    def test_bad_protocol(self):
+        with pytest.raises(SystemExit):
+            build_parser().parse_args(["evaluate", "nope"])
+
+
+class TestEvaluateSynthetic:
+    def test_3dzeromatch_synthetic(self, capsys, monkeypatch, tmp_path):
+        monkeypatch.chdir(tmp_path)  # no data dir -> synthetic fallback
+        # shrink the model so the CPU run is fast
+        import scream_tpu.cli as cli
+        import scream_tpu.config as config
+
+        def tiny_presets():
+            m, t, d, e = config.threedmatch_presets()
+            import dataclasses
+
+            return (
+                dataclasses.replace(m, d_model=32, num_heads=4, self_layers=1,
+                                    cross_layers=1, dtype="float32"),
+                t,
+                dataclasses.replace(d, max_points=128),
+                e,
+            )
+
+        monkeypatch.setitem(cli.TASKS, "3dmatch", tiny_presets)
+        main(["evaluate", "3dzeromatch", "--batch-size", "8"])
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        metrics = json.loads(out)
+        assert "registration_recall" in metrics
+        assert metrics["n_pairs"] == 16
+
+
+class TestVisualize:
+    def test_visualize_artifacts(self, capsys, tmp_path):
+        split_dir = tmp_path / "3DMatch_test"
+        split_dir.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        np.save(split_dir / "src0.npy", rng.standard_normal((50, 3)))
+        np.save(split_dir / "tgt0.npy", rng.standard_normal((60, 3)))
+        np.save(split_dir / "T0.npy", np.eye(4))
+        main(["visualize", "--root", str(tmp_path), "--item", "0",
+              "--out", str(tmp_path / "viz")])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert os.path.getsize(out["registered"]) > 0
