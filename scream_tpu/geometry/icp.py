@@ -30,6 +30,16 @@ from scream_tpu.geometry.kabsch import kabsch
 from scream_tpu.geometry.pairwise import masked_square_distance
 
 
+def _nn(src_t, tgt, tgt_mask):
+    """Single-pass fused (min, argmin) NN — the Pallas kernel on TPU
+    (one VMEM-resident pass instead of an HBM distance matrix plus two
+    reductions), the XLA path elsewhere."""
+    from scream_tpu.ops.nn_pallas import nearest_neighbor_auto
+
+    d, i = nearest_neighbor_auto(src_t[None], tgt[None], tgt_mask[None])
+    return d[0], i[0]
+
+
 class ICPResult(NamedTuple):
     transformation: jnp.ndarray  # (4, 4)
     fitness: jnp.ndarray  # scalar: inlier fraction of valid src points
@@ -82,9 +92,7 @@ def registration_icp(
 
     def step(T):
         src_t = src @ T[:3, :3].T + T[:3, 3]
-        dist = masked_square_distance(src_t, tgt, dst_mask=tgt_mask)
-        nn_dist = jnp.min(dist, axis=-1)
-        nn_idx = jnp.argmin(dist, axis=-1)
+        nn_dist, nn_idx = _nn(src_t, tgt, tgt_mask)
         valid = (nn_dist < thresh_sq) & src_mask
         corr_tgt = tgt[nn_idx]
         w = valid.astype(jnp.float32)
@@ -120,8 +128,7 @@ def registration_icp(
 
     # Final metrics at the converged transform.
     src_t = src @ final.T[:3, :3].T + final.T[:3, 3]
-    dist = masked_square_distance(src_t, tgt, dst_mask=tgt_mask)
-    nn_dist = jnp.min(dist, axis=-1)
+    nn_dist, _ = _nn(src_t, tgt, tgt_mask)
     valid = (nn_dist < thresh_sq) & src_mask
     w = valid.astype(jnp.float32)
     n_inlier = jnp.sum(w)
