@@ -24,7 +24,7 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from scream_tpu.data import transforms
-from scream_tpu.ops.voxel import voxel_downsample_np
+from scream_tpu.native import voxel_downsample as voxel_downsample_np
 
 # Canonical split sizes (reference `datasets/three_d_match.py:173,200,226,252,278`,
 # `datasets/kitti.py:281,308,333`, `datasets/open_gf.py:16,36,56`).

@@ -3,7 +3,7 @@
 Re-implements the behavior of `/root/reference/process_3d_match.py`,
 `/root/reference/process_kitti.py` and `/root/reference/process_open_gf.py`
 without Open3D (absent here): voxel downsampling uses the framework's own
-sort-based implementation, radius searches use scipy's cKDTree on the host,
+sort-based implementation or the native C++ library (scream_tpu/native),
 and KITTI GT refinement uses the on-device jax ICP.
 
 Split rules (all from the reference):
@@ -23,7 +23,11 @@ from typing import Dict, Iterable, Optional, Tuple
 
 import numpy as np
 
-from scream_tpu.ops.voxel import voxel_downsample_np
+from scream_tpu.native import (
+    highest_in_radius_2d,
+    radius_has_neighbor,
+    voxel_downsample as voxel_downsample_np,
+)
 
 THREEDMATCH_VOXEL = 0.0625
 KITTI_VOXEL = 0.7
@@ -37,12 +41,9 @@ def overlap_indices(
     """Indices of src points with a tgt point within ``radius`` after GT
     alignment — the KD-tree radius search of
     `/root/reference/utils.py:94-108` on the host."""
-    from scipy.spatial import cKDTree
-
     src_t = src @ rot.T + trans.reshape(3)
-    tree = cKDTree(tgt)
-    neighbors = tree.query_ball_point(src_t, radius)
-    return np.asarray([i for i, n in enumerate(neighbors) if n], dtype=np.int64)
+    hits = radius_has_neighbor(src_t, tgt, radius)
+    return np.flatnonzero(hits).astype(np.int64)
 
 
 def make_pair_artifacts(
@@ -181,18 +182,9 @@ def extract_dsm(points: np.ndarray, dem: np.ndarray,
     Host KD-tree version of the reference's GPU loop
     (`/root/reference/process_open_gf.py:217-231`).
     """
-    from scipy.spatial import cKDTree
-
-    tree = cKDTree(points[:, :2])
-    out = np.empty_like(dem)
-    for i, p in enumerate(dem):
-        idx = tree.query_ball_point(p[:2], radius)
-        if idx:
-            cand = points[idx]
-            out[i] = cand[np.argmax(cand[:, 2])]
-        else:
-            out[i] = p
-    return out
+    idx = highest_in_radius_2d(dem, points, radius)
+    out = np.where(idx[:, None] >= 0, points[np.clip(idx, 0, None)], dem)
+    return out.astype(dem.dtype)
 
 
 def tile_opengf_scene(

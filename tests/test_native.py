@@ -1,0 +1,78 @@
+"""Native C++ host ops vs the numpy/scipy oracles."""
+
+import numpy as np
+import pytest
+
+from scream_tpu import native
+from scream_tpu.ops.voxel import voxel_downsample_np
+
+
+class TestNativeBuild:
+    def test_library_builds_and_loads(self):
+        # g++ is in the image; the library must actually build (the numpy
+        # fallback exists for toolchain-less installs, not for CI).
+        assert native.available()
+
+
+class TestVoxelParity:
+    @pytest.mark.parametrize("n,voxel", [(500, 0.1), (3000, 0.25), (64, 1.0)])
+    def test_matches_numpy_oracle(self, rng, n, voxel):
+        pts = rng.uniform(-3, 3, (n, 3))
+        got = native.voxel_downsample(pts, voxel)
+        want = voxel_downsample_np(pts, voxel)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_single_point(self):
+        pts = np.array([[1.0, 2.0, 3.0]])
+        out = native.voxel_downsample(pts, 0.5)
+        np.testing.assert_allclose(out, pts, atol=1e-6)
+
+
+class TestRadiusQueries:
+    def test_has_neighbor_matches_scipy(self, rng):
+        from scipy.spatial import cKDTree
+
+        q = rng.uniform(-2, 2, (300, 3))
+        r = rng.uniform(-2, 2, (400, 3))
+        radius = 0.3
+        got = native.radius_has_neighbor(q, r, radius)
+        d, _ = cKDTree(r).query(q)
+        want = d <= radius
+        np.testing.assert_array_equal(got, want)
+
+    def test_radius_count_matches_scipy(self, rng):
+        from scipy.spatial import cKDTree
+
+        q = rng.uniform(-1, 1, (200, 3))
+        r = rng.uniform(-1, 1, (500, 3))
+        radius = 0.25
+        got = native.radius_count(q, r, radius)
+        tree = cKDTree(r)
+        want = np.asarray([len(x) for x in tree.query_ball_point(q, radius)])
+        np.testing.assert_array_equal(got, want)
+
+    def test_highest_in_radius_2d(self, rng):
+        ref = np.array([
+            [0.0, 0.0, 1.0],
+            [0.1, 0.0, 5.0],
+            [3.0, 3.0, 2.0],
+        ])
+        q = np.array([[0.05, 0.0, 0.0], [10.0, 10.0, 0.0]])
+        idx = native.highest_in_radius_2d(q, ref, 0.5)
+        assert idx[0] == 1  # highest z within radius
+        assert idx[1] == -1  # nothing nearby
+
+    def test_highest_matches_scipy_random(self, rng):
+        from scipy.spatial import cKDTree
+
+        q = rng.uniform(-1, 1, (100, 3))
+        r = rng.uniform(-1, 1, (300, 3))
+        radius = 0.4
+        got = native.highest_in_radius_2d(q, r, radius)
+        tree = cKDTree(r[:, :2])
+        for i, nbrs in enumerate(tree.query_ball_point(q[:, :2], radius)):
+            if nbrs:
+                assert got[i] == nbrs[int(np.argmax(r[nbrs, 2]))]
+            else:
+                assert got[i] == -1
