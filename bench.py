@@ -10,6 +10,10 @@ The reference runs this one pair at a time with CPU SVD and C++ ICP hops
 (~1 pair per forward, SURVEY.md §6); the north-star target is >= 50
 pairs/sec/chip (BASELINE.json). Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "pairs/sec", "vs_baseline": N}``.
+
+``python bench.py --suite`` additionally times the other BASELINE.json
+workload classes (KITTI-sized clouds, the OpenGF DEM forward, the
+adversarial training step) and prints one JSON line each to stderr.
 """
 
 import json
@@ -92,5 +96,142 @@ def main():
     )
 
 
+def _timed(fn, make_input, iters=3):
+    """Median sync wall time; distinct input + host fetch per call (the
+    remote-TPU runtime caches identical dispatches)."""
+    import numpy as np
+
+    np.asarray(fn(make_input(0)))
+    ts = []
+    for k in range(iters):
+        x = make_input(k + 1)
+        t0 = time.time()
+        np.asarray(fn(x))
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def suite():
+    """Secondary benchmarks covering the remaining BASELINE.json configs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scream_tpu.config import ModelConfig, RenderConfig
+    from scream_tpu.data import DEMLoader, PairLoader, SyntheticPairDataset
+    from scream_tpu.data.synthetic import make_dem_patch
+    from scream_tpu.models.point_transformer import DEMTransformer, PointTransformer
+    from scream_tpu.pipeline.register import register_batch
+    from scream_tpu.train import optim
+    from scream_tpu.train.steps import init_train_state, make_registration_train_step
+    from scream_tpu.config import TrainConfig
+
+    host = np.random.default_rng(0)
+
+    def emit(metric, value, unit):
+        print(json.dumps({"metric": metric, "value": round(value, 2),
+                          "unit": unit}), file=sys.stderr)
+
+    # --- KITTI-sized registration (voxel 0.7 -> ~8k pts, thresholds 1.5/1.0) ---
+    B, NP = 8, 8192
+    ds = SyntheticPairDataset(length=B, n_src=NP - 512, n_tgt=NP - 256, seed=1,
+                              normalize="unit_cube")
+    b0 = {k: jnp.asarray(v) for k, v in next(iter(PairLoader(
+        ds, batch_size=B, src_capacity=NP, tgt_capacity=NP))).items()}
+    model = PointTransformer(ModelConfig())
+    params = model.init(jax.random.PRNGKey(0), b0["src"], b0["tgt"],
+                        b0["src_mask"], b0["tgt_mask"],
+                        jnp.swapaxes(b0["trans"], -1, -2))["params"]
+
+    def apply_fn(p, src, tgt, sm, tm, c):
+        return model.apply({"params": p}, src, tgt, sm, tm, c)
+
+    def kitti_run(b):
+        return register_batch(apply_fn, params, b, dis_thresh=1.5, corr="tgt",
+                              icp_thresh=1.0, icp_max_iter=ICP_ITERS).transform
+
+    def kitti_input(k):
+        b = dict(b0)
+        b["src"] = b0["src"] + jnp.asarray(
+            host.standard_normal(b0["src"].shape).astype(np.float32) * 1e-4)
+        np.asarray(b["src"])
+        return b
+
+    emit("kitti_registration_pairs_per_sec", B / _timed(kitti_run, kitti_input),
+         "pairs/sec")
+
+    # --- OpenGF DEM generation forward ---
+    Bd, Nd = 8, 4096
+    patches = [make_dem_patch(np.random.default_rng(i), n_dsm=Nd, n_dem=Nd)
+               for i in range(Bd)]
+
+    class _Ds:
+        def __len__(self):
+            return Bd
+
+        def __getitem__(self, i):
+            return patches[i]
+
+    db = next(iter(DEMLoader(_Ds(), batch_size=Bd, dsm_capacity=Nd,
+                             dem_capacity=Nd, coarse_capacity=Nd // 8)))
+    db = {k: jnp.asarray(v) for k, v in db.items()}
+    dem_model = DEMTransformer(ModelConfig(separate_stems=True))
+    dem_params = dem_model.init(jax.random.PRNGKey(0), db["dsm"], db["dem_coarse"],
+                                db["dsm_mask"], db["dem_coarse_mask"])["params"]
+    dem_fwd = jax.jit(lambda d: dem_model.apply(
+        {"params": dem_params}, d, db["dem_coarse"], db["dsm_mask"],
+        db["dem_coarse_mask"]))
+
+    def dem_input(k):
+        x = db["dsm"] + jnp.asarray(
+            host.standard_normal(db["dsm"].shape).astype(np.float32) * 1e-4)
+        np.asarray(x)
+        return x
+
+    emit("opengf_dem_patches_per_sec", Bd / _timed(dem_fwd, dem_input),
+         "patches/sec")
+
+    # --- adversarial (GAN) training step ---
+    Bt, Nt = 8, 2048
+    tds = SyntheticPairDataset(length=Bt, n_src=Nt - 128, n_tgt=Nt - 64, seed=2)
+    tb = {k: jnp.asarray(v) for k, v in next(iter(PairLoader(
+        tds, batch_size=Bt, src_capacity=Nt, tgt_capacity=Nt))).items()}
+    gmodel = PointTransformer(ModelConfig())
+    gparams = gmodel.init(jax.random.PRNGKey(1), tb["src"], tb["tgt"],
+                          tb["src_mask"], tb["tgt_mask"],
+                          jnp.swapaxes(tb["trans"], -1, -2))["params"]
+    from scream_tpu.models.gan import PatchDiscriminator, images_to_nhwc
+    from scream_tpu.ops.render import render_depth_images
+    from scream_tpu.train.steps import make_disc_logit_fn
+
+    disc = PatchDiscriminator(input_nc=2)
+    imgs0 = render_depth_images(tb["src"], tb["tgt"], tb["src_mask"],
+                                tb["tgt_mask"], rho=24.0, width=64)
+    dvars = disc.init(jax.random.PRNGKey(2), images_to_nhwc(imgs0), train=False)
+    opt = optim.generator_optimizer(TrainConfig(use_gan=True), 100)
+    step = make_registration_train_step(
+        gmodel, opt, use_gan=True, disc_apply=make_disc_logit_fn(disc),
+        render_cfg=RenderConfig(), gan_weight=0.1,
+    )
+    state_box = [init_train_state(gparams, opt)]
+
+    def train_run(b):
+        state, metrics, fake = step(state_box[0], b, dvars)
+        state_box[0] = state
+        return fake
+
+    def train_input(k):
+        b = dict(tb)
+        b["src"] = tb["src"] + jnp.asarray(
+            host.standard_normal(tb["src"].shape).astype(np.float32) * 1e-4)
+        np.asarray(b["src"])
+        return b
+
+    emit("adversarial_train_pairs_per_sec", Bt / _timed(train_run, train_input),
+         "pairs/sec")
+
+
 if __name__ == "__main__":
     main()
+    if "--suite" in sys.argv:
+        suite()

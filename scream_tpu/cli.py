@@ -124,9 +124,10 @@ def cmd_train(args):
             model_cfg=model_cfg, train_cfg=train_cfg, eval_cfg=eval_cfg,
             decay_mode="kitti" if args.task == "kitti" else "every15",
             checkpoint_dir=args.checkpoint_dir,
+            sample_img_dir=args.sample_img_dir,
         )
     trainer.init()
-    final = trainer.fit()
+    final = trainer.fit(profile_dir=args.profile_dir)
     print(json.dumps({"final_val": final}))
 
 
@@ -314,6 +315,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--batch-size", type=int, default=None)
     t.add_argument("--gan", action="store_true")
     t.add_argument("--checkpoint-dir", default="checkpoints")
+    t.add_argument("--profile-dir", default=None,
+                   help="capture an XLA trace of the first epoch here")
+    t.add_argument("--sample-img-dir", default=None,
+                   help="dump GAN sample images here every save_img_iter steps")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("evaluate", help="run a benchmark protocol")

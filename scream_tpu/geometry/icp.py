@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 
 from scream_tpu.geometry.kabsch import kabsch
-from scream_tpu.geometry.pairwise import masked_square_distance
 
 
 def _nn(src_t, tgt, tgt_mask):

@@ -105,7 +105,7 @@ def _render_single_view(
     return jnp.moveaxis(tiles, 1, 0).reshape(2, -1)
 
 
-@partial(jax.jit, static_argnames=("rho", "width", "multi_view", "tile"))
+@partial(jax.jit, static_argnames=("rho", "width", "multi_view", "tile", "use_pallas"))
 def render_depth_images(
     src_pred: jnp.ndarray,
     tgt: jnp.ndarray,
@@ -115,6 +115,7 @@ def render_depth_images(
     width: int = 64,
     multi_view: bool = True,
     tile: int = 4096,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Render ``(B, V, 2, width, width)`` depth images in [-1, 1].
 
@@ -126,7 +127,12 @@ def render_depth_images(
         with a single view, `/root/reference/train_kitti.py:45-48`).
       width: square image width (64; the commented hi-res variant uses 128).
       multi_view: six fixed views vs. identity only.
-      tile: pixel-tile size for the streamed ``N x tile`` weight matrix.
+      tile: pixel-tile size for the streamed ``N x tile`` weight matrix
+        (XLA path only).
+      use_pallas: route the splat through the fused Pallas kernel with its
+        custom VJP (`scream_tpu/ops/splat_pallas.py`); default auto — on for
+        the TPU backend. Both paths produce identical images and identical
+        (argmax-subgradient) gradients.
     """
     B, n = src_pred.shape[0], src_pred.shape[1]
     if src_mask is None:
@@ -146,6 +152,34 @@ def render_depth_images(
     m_src = mask & src_rows[None, :]
     m_tgt = mask & ~src_rows[None, :]
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    V = views.shape[0]
+
+    if use_pallas:
+        from scream_tpu.ops.splat_pallas import max_splat
+
+        # Rotate every (pair, view) up front, flatten (B, V) into one batch
+        # axis and vmap the kernel once — nested vmap over pallas_call
+        # produces batch-dim layouts the TPU lowering rejects.
+        rp = jnp.einsum("bnc,vdc->bvnd", pts, views)  # (B, V, N, 3)
+        depth = rp[..., 2]
+        dmin = jnp.min(jnp.where(mask[:, None, :], depth, _BIG), axis=-1,
+                       keepdims=True)
+        dmax = jnp.max(jnp.where(mask[:, None, :], depth, -_BIG), axis=-1,
+                       keepdims=True)
+        pix_val = 1.0 - (depth - dmin) / jnp.maximum(dmax - dmin, 1e-8)
+        vals = jnp.stack(
+            [jnp.where(m_src[:, None, :], pix_val, 0.0),
+             jnp.where(m_tgt[:, None, :], pix_val, 0.0)], axis=-1,
+        )  # (B, V, N, 2)
+        n_total = pts.shape[1]
+        xy_flat = rp[..., :2].reshape(B * V, n_total, 2)
+        vals_flat = vals.reshape(B * V, n_total, 2)
+        imgs = jax.vmap(lambda a, b: max_splat(a, b, rho, width))(xy_flat, vals_flat)
+        imgs = (imgs - 0.5) / 0.5
+        return imgs.reshape(B, V, 2, width, width)
+
     def per_pair(p, m, ms, mt):
         def per_view(R):
             rp = p @ R.T
@@ -154,18 +188,14 @@ def render_depth_images(
             dmax = jnp.max(jnp.where(m, depth, -_BIG))
             rng = jnp.maximum(dmax - dmin, 1e-8)
             pix_val = 1.0 - (depth - dmin) / rng
-            img = _render_single_view(
-                rp,
-                jnp.where(ms, pix_val, 0.0),
-                jnp.where(mt, pix_val, 0.0),
-                pix,
-                rho,
-            )
+            val_src = jnp.where(ms, pix_val, 0.0)
+            val_tgt = jnp.where(mt, pix_val, 0.0)
+            img = _render_single_view(rp, val_src, val_tgt, pix, rho)
             return (img - 0.5) / 0.5
         return jax.vmap(per_view)(views)  # (V, 2, w*w)
 
     imgs = jax.vmap(per_pair)(pts, mask, m_src, m_tgt)
-    return imgs.reshape(B, views.shape[0], 2, width, width)
+    return imgs.reshape(B, V, 2, width, width)
 
 
 def render_from_config(

@@ -33,7 +33,6 @@ import jax.numpy as jnp
 from scream_tpu.geometry.icp import registration_icp
 from scream_tpu.geometry.kabsch import kabsch
 from scream_tpu.geometry.metrics import registration_recall_rmse, transformation_error
-from scream_tpu.geometry.pairwise import masked_square_distance
 
 
 class PoseSolution(NamedTuple):

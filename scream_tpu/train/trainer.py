@@ -55,6 +55,7 @@ class RegistrationTrainer:
         checkpoint_dir: Optional[str] = None,
         logger: Optional[MetricsLogger] = None,
         val_use_icp: bool = False,
+        sample_img_dir: Optional[str] = None,
     ):
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -90,6 +91,10 @@ class RegistrationTrainer:
         self.checkpointer = (
             BestCheckpointer(checkpoint_dir, mode=mode) if checkpoint_dir else None
         )
+        self.sample_img_dir = sample_img_dir
+        from scream_tpu.utils.profiling import ThroughputMeter
+
+        self.throughput = ThroughputMeter()
 
         self._apply_fn = lambda params, src, tgt, sm, tm, center: self.model.apply(
             {"params": params}, src, tgt, sm, tm, center
@@ -139,11 +144,29 @@ class RegistrationTrainer:
                     batch["src_mask"], batch["tgt_mask"],
                 )
                 metrics["d_loss"] = d_loss
+                # Periodic sample-image dumps, the reference's GAN QA artifact
+                # (`/root/reference/train_3d_match.py:211-214`).
+                step_no = int(self.state.step)
+                if self.sample_img_dir and step_no % self.train_cfg.save_img_iter == 0:
+                    import os
+
+                    from scream_tpu.utils.viz import save_depth_image_grid
+
+                    os.makedirs(self.sample_img_dir, exist_ok=True)
+                    save_depth_image_grid(
+                        np.asarray(fake[0]),
+                        os.path.join(self.sample_img_dir,
+                                     f"epoch{epoch}_step{step_no}.png"),
+                    )
             count += 1
+            self.throughput.step(batch["src"].shape[0])
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
+            metrics["pairs_per_sec"] = self.throughput.items_per_sec
             self.logger.log(int(self.state.step), metrics, prefix="train")
-        return {k: v / max(count, 1) for k, v in sums.items()}
+        out = {k: v / max(count, 1) for k, v in sums.items()}
+        out["pairs_per_sec"] = self.throughput.items_per_sec
+        return out
 
     def evaluate(self) -> Dict[str, float]:
         """Validation: point loss + pose errors + KITTI-style success rate.
@@ -193,11 +216,16 @@ class RegistrationTrainer:
         }
         return out
 
-    def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
+    def fit(self, epochs: Optional[int] = None,
+            profile_dir: Optional[str] = None) -> Dict[str, float]:
+        from scream_tpu.utils.profiling import trace
+
         epochs = epochs or self.train_cfg.epochs
         last_val: Dict[str, float] = {}
         for epoch in range(1, epochs):
-            train_metrics = self.train_epoch(epoch)
+            # Trace only the first epoch when profiling is requested.
+            with trace(profile_dir if epoch == 1 else None):
+                train_metrics = self.train_epoch(epoch)
             last_val = self.evaluate()
             self.logger.log(int(self.state.step), last_val, prefix="val")
             print(
@@ -323,11 +351,15 @@ class DEMTrainer:
             n += b
         return {"chamfer": tot_cd / max(n, 1), "height_mae": tot_h / max(n, 1)}
 
-    def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
+    def fit(self, epochs: Optional[int] = None,
+            profile_dir: Optional[str] = None) -> Dict[str, float]:
+        from scream_tpu.utils.profiling import trace
+
         epochs = epochs or self.train_cfg.epochs
         last_val: Dict[str, float] = {}
         for epoch in range(1, epochs):
-            train_metrics = self.train_epoch(epoch)
+            with trace(profile_dir if epoch == 1 else None):
+                train_metrics = self.train_epoch(epoch)
             last_val = self.evaluate()
             self.logger.log(int(self.state.step), last_val, prefix="val")
             print(
