@@ -30,13 +30,13 @@ from scream_tpu.geometry.kabsch import kabsch
 
 
 def _nn(src_t, tgt, tgt_mask):
-    """Single-pass fused (min, argmin) NN — the Pallas kernel on TPU
-    (one VMEM-resident pass instead of an HBM distance matrix plus two
-    reductions), the XLA path elsewhere."""
-    from scream_tpu.ops.nn_pallas import nearest_neighbor_auto
+    """Single-pass fused NN returning winner coordinates — the Pallas kernel
+    on TPU (one VMEM-resident pass, no HBM distance matrix, no index gather),
+    the XLA path elsewhere."""
+    from scream_tpu.ops.nn_pallas import nearest_neighbor_full
 
-    d, i = nearest_neighbor_auto(src_t[None], tgt[None], tgt_mask[None])
-    return d[0], i[0]
+    d, _, xyz = nearest_neighbor_full(src_t[None], tgt[None], tgt_mask[None])
+    return d[0], xyz[0]
 
 
 class ICPResult(NamedTuple):
@@ -91,9 +91,8 @@ def registration_icp(
 
     def step(T):
         src_t = src @ T[:3, :3].T + T[:3, 3]
-        nn_dist, nn_idx = _nn(src_t, tgt, tgt_mask)
+        nn_dist, corr_tgt = _nn(src_t, tgt, tgt_mask)
         valid = (nn_dist < thresh_sq) & src_mask
-        corr_tgt = tgt[nn_idx]
         w = valid.astype(jnp.float32)
         n_inlier = jnp.sum(w)
         fitness = n_inlier / n_valid_src

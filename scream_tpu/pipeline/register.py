@@ -78,15 +78,18 @@ def solve_pose(
     mode ("tgt": pair src with NN of src_pred in tgt) or the ZeroMatch mode
     ("src_pred": pair src with src_pred directly).
     """
-    from scream_tpu.ops.nn_pallas import nearest_neighbor_auto
+    from scream_tpu.ops.nn_pallas import nearest_neighbor_full
 
     inv_s = (1.0 / scale)[:, None, None]
-    nn_d2, nn_idx = nearest_neighbor_auto(src_pred * inv_s, tgt * inv_s, tgt_mask)
+    nn_d2, nn_idx, nn_xyz = nearest_neighbor_full(
+        src_pred * inv_s, tgt * inv_s, tgt_mask
+    )
     valid = (nn_d2 < dis_thresh) & src_mask
 
     src_dn = src * inv_s + center[:, None, :]
     if corr == "tgt":
-        partner = jnp.take_along_axis(tgt, nn_idx[..., None], axis=1) * inv_s + center[:, None, :]
+        # nn_xyz is already in the de-scaled frame (kernel saw tgt/s).
+        partner = nn_xyz + center[:, None, :]
     elif corr == "src_pred":
         partner = src_pred * inv_s + center[:, None, :]
     else:
@@ -111,12 +114,14 @@ def in_forward_transform(
     in ``filt/s`` (the GT-aligned source), valid iff squared distance
     < ``dis_thresh``, then Kabsch of ``src[valid]`` onto ``filt[nn]``.
     """
-    from scream_tpu.ops.nn_pallas import nearest_neighbor_auto
+    from scream_tpu.ops.nn_pallas import nearest_neighbor_full
 
     inv_s = (1.0 / scale)[:, None, None]
-    nn_d2, nn_idx = nearest_neighbor_auto(src_pred * inv_s, filt * inv_s, filt_mask)
+    nn_d2, _, nn_xyz = nearest_neighbor_full(src_pred * inv_s, filt * inv_s, filt_mask)
     valid = (nn_d2 < dis_thresh) & src_mask
-    partner = jnp.take_along_axis(filt, nn_idx[..., None], axis=1)
+    # Winner coords are in the de-scaled frame; Kabsch runs in the normalized
+    # frame (reference models/pointnet.py:74), so scale back.
+    partner = nn_xyz * scale[:, None, None]
     return kabsch(src, partner, weights=valid.astype(jnp.float32))
 
 
