@@ -128,6 +128,21 @@ class RegistrationTrainer:
             )
         return self.state
 
+    def save_state(self, directory: str) -> None:
+        """Checkpoint the FULL train state (params + optimizer + step) for
+        resume — the reference can only restart from scratch
+        (`/root/reference/train_3d_match.py:226-230` saves weights only)."""
+        from scream_tpu.utils.checkpoint import save_params
+
+        save_params(directory, {"gen": self.state._asdict()})
+
+    def restore_state(self, directory: str) -> None:
+        from scream_tpu.train.steps import TrainState
+        from scream_tpu.utils.checkpoint import load_params
+
+        restored = load_params(directory, {"gen": self.state._asdict()})
+        self.state = TrainState(**restored["gen"])
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         sums: Dict[str, float] = {}
         count = 0

@@ -96,3 +96,40 @@ class TestDataParallelStep:
         l2 = jax.tree_util.tree_leaves(s2.params)
         for a, b in zip(l1, l2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestSequenceParallelModel:
+    def test_model_forward_with_sharded_points(self):
+        """The full transformer forward under GSPMD with points sharded over
+        the seq axis matches the unsharded result — XLA inserts the
+        collectives for the linear-attention einsums automatically."""
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from scream_tpu.models.point_transformer import PointTransformer
+
+        cfg = ModelConfig(d_model=32, num_heads=4, self_layers=1, cross_layers=1,
+                          dtype="float32")
+        model = PointTransformer(cfg)
+        mesh = make_mesh(n_data=1, n_seq=8)
+        B, N = 1, 128
+        rng = np.random.default_rng(0)
+        src = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+        tgt = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+        sm = jnp.ones((B, N), bool)
+        center = jnp.zeros((B, 1, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), src, tgt, sm, sm, center)["params"]
+
+        fwd = jax.jit(lambda p, s, t, m: model.apply({"params": p}, s, t, m, m, center))
+        want = fwd(params, src, tgt, sm)
+
+        seq_sh = NamedSharding(mesh, jax.sharding.PartitionSpec(None, "seq", None))
+        mask_sh = NamedSharding(mesh, jax.sharding.PartitionSpec(None, "seq"))
+        rep = NamedSharding(mesh, jax.sharding.PartitionSpec())
+        got = fwd(
+            jax.device_put(params, rep),
+            jax.device_put(src, seq_sh),
+            jax.device_put(tgt, seq_sh),
+            jax.device_put(sm, mask_sh),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)

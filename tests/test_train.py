@@ -134,3 +134,28 @@ class TestCheckpointer:
         assert ck.maybe_save(0.1, {"w": jnp.zeros(2)})
         assert not ck.maybe_save(0.05, {"w": jnp.zeros(2)})
         assert ck.maybe_save(0.4, {"w": jnp.zeros(2)})
+
+
+class TestResume:
+    def test_full_state_roundtrip(self, tmp_path):
+        train_loader, val_loader = _loaders(n=4, batch=2, n_pts=48)
+        tr = RegistrationTrainer(train_loader, val_loader, model_cfg=SMALL_MODEL,
+                                 train_cfg=TrainConfig(epochs=2, lr_g=1e-3))
+        tr.init()
+        tr.train_epoch(1)
+        step_before = int(tr.state.step)
+        leaves_before = [np.asarray(x).copy()
+                         for x in jax.tree_util.tree_leaves(tr.state.params)]
+        tr.save_state(str(tmp_path / "full"))
+
+        # keep training, then restore: state must rewind exactly
+        tr.train_epoch(2)
+        assert int(tr.state.step) > step_before
+        tr.restore_state(str(tmp_path / "full"))
+        assert int(tr.state.step) == step_before
+        for a, b in zip(leaves_before, jax.tree_util.tree_leaves(tr.state.params)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+        # optimizer state restored too: training continues without error
+        m = tr.train_epoch(2)
+        assert np.isfinite(m["point_loss"])
