@@ -257,7 +257,7 @@ def cmd_preprocess(args):
             n = pp.save_kitti_split(pairs, os.path.join(args.out, f"KITTI_{mode}"))
             print(f"KITTI_{mode}: {n} pairs")
     elif args.task == "3dmatch":
-        from scream_tpu.data.raw import ThreeDMatchPredator, save_info_sidecars
+        from scream_tpu.data.raw import ThreeDMatchPredator
 
         pkl_dir = os.path.join(args.root, "indoor")
         for mode, pkl, out_split in (

@@ -46,6 +46,10 @@ class RenderConfig:
     rho: float = 24.0
     width: int = 64
     multi_view: bool = True  # 6 fixed views; False = single identity view
+    # "multi" | "identity" | "back" (the KITTI GAN variant uses rho=48 with a
+    # single Ry(pi) view, /root/reference/train_kitti.py:45-48); None derives
+    # from multi_view.
+    view_mode: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,6 +103,12 @@ class EvalConfig:
     re_stat: str = "median"  # "mean" for zero-match
     success_re_deg: float = 5.0  # KITTI success criteria
     success_te: float = 2.0
+
+
+def kitti_gan_render_config() -> RenderConfig:
+    """The renderer override the reference applies for KITTI GAN training
+    (`/root/reference/train_kitti.py:45-48`): rho 48, single back view."""
+    return RenderConfig(rho=48.0, width=64, multi_view=False, view_mode="back")
 
 
 def threedmatch_presets():

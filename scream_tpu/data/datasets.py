@@ -19,7 +19,7 @@ with the reference's canonical counts kept as constants for validation.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 

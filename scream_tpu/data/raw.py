@@ -29,7 +29,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from scream_tpu.data.datasets import SCENE_NAME_TO_IDX
 from scream_tpu.native import voxel_downsample as voxel_downsample_np
 
 THREEDMATCH_OVERLAP_RADIUS = 0.03  # `/root/reference/datasets/three_d_match.py:112`

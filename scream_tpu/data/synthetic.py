@@ -12,11 +12,11 @@ transformer has geometry to learn.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 
-from scream_tpu.data.transforms import sample_small_se3, uniform_2_sphere
+from scream_tpu.data.transforms import uniform_2_sphere
 
 
 def make_scene(rng: np.random.Generator, n: int, extent: float = 1.0) -> np.ndarray:

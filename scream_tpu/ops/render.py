@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,28 +39,39 @@ from scream_tpu.config import RenderConfig
 _BIG = jnp.float32(3e38)
 
 
-def view_matrices(multi_view: bool = True) -> jnp.ndarray:
+def _ry(b):
+    c, s = math.cos(b), math.sin(b)
+    return [[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]]
+
+
+def _rx(c_):
+    c, s = math.cos(c_), math.sin(c_)
+    return [[1.0, 0.0, 0.0], [0.0, c, -s], [0.0, s, c]]
+
+
+def view_matrices(multi_view: bool = True, view_mode: Optional[str] = None) -> jnp.ndarray:
     """The fixed view rotations ``(V, 3, 3)``.
 
-    Identity, three more quarter-turns about y, and +/- quarter-turns about x
-    (reference `/root/reference/models/render.py:17-25`); single-view mode is
-    just the identity (`:24-25`).
+    ``view_mode``: "multi" — identity, three more quarter-turns about y, and
+    +/- quarter-turns about x (reference `/root/reference/models/render.py:17-25`);
+    "identity" — the single default view (`:24-25`); "back" — the single
+    Ry(pi) view the KITTI GAN variant switches to
+    (`/root/reference/train_kitti.py:47-48`). ``multi_view`` is the legacy
+    boolean (multi vs identity) used when ``view_mode`` is None.
     """
-    if not multi_view:
+    if view_mode is None:
+        view_mode = "multi" if multi_view else "identity"
+    if view_mode == "identity":
         return jnp.eye(3, dtype=jnp.float32)[None]
-
-    def ry(b):
-        c, s = math.cos(b), math.sin(b)
-        return [[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]]
-
-    def rx(c_):
-        c, s = math.cos(c_), math.sin(c_)
-        return [[1.0, 0.0, 0.0], [0.0, c, -s], [0.0, s, c]]
+    if view_mode == "back":
+        return jnp.asarray([_ry(math.pi)], dtype=jnp.float32)
+    if view_mode != "multi":
+        raise ValueError(f"unknown view_mode {view_mode!r}")
 
     half = math.pi / 2.0
     mats = [
-        ry(0.0), ry(half), ry(2 * half), ry(3 * half),
-        rx(half), rx(3 * half),
+        _ry(0.0), _ry(half), _ry(2 * half), _ry(3 * half),
+        _rx(half), _rx(3 * half),
     ]
     return jnp.asarray(mats, dtype=jnp.float32)
 
@@ -105,7 +116,8 @@ def _render_single_view(
     return jnp.moveaxis(tiles, 1, 0).reshape(2, -1)
 
 
-@partial(jax.jit, static_argnames=("rho", "width", "multi_view", "tile", "use_pallas"))
+@partial(jax.jit, static_argnames=("rho", "width", "multi_view", "tile",
+                                   "use_pallas", "view_mode"))
 def render_depth_images(
     src_pred: jnp.ndarray,
     tgt: jnp.ndarray,
@@ -116,6 +128,7 @@ def render_depth_images(
     multi_view: bool = True,
     tile: int = 4096,
     use_pallas: Optional[bool] = None,
+    view_mode: Optional[str] = None,
 ) -> jnp.ndarray:
     """Render ``(B, V, 2, width, width)`` depth images in [-1, 1].
 
@@ -140,7 +153,7 @@ def render_depth_images(
     if tgt_mask is None:
         tgt_mask = jnp.ones((B, tgt.shape[1]), dtype=bool)
 
-    views = view_matrices(multi_view)  # (V, 3, 3)
+    views = view_matrices(multi_view, view_mode)  # (V, 3, 3)
     n_pix = width * width
     tile = min(tile, n_pix)
     assert n_pix % tile == 0, "width^2 must divide into whole pixel tiles"

@@ -11,7 +11,7 @@ from __future__ import annotations
 from typing import Callable, Dict
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from scream_tpu.parallel.mesh import batch_sharding, replicated
 

@@ -16,7 +16,7 @@ and `/root/reference/train_open_gf.py:89-115`:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -82,6 +82,7 @@ def make_registration_train_step(
                 src_pred, tgt, src_mask, tgt_mask,
                 rho=render_cfg.rho, width=render_cfg.width,
                 multi_view=render_cfg.multi_view,
+                view_mode=render_cfg.view_mode,
             )
             b, v, c, h, w = fake.shape
             logits = disc_apply(disc_variables, fake, train=False)
@@ -135,6 +136,7 @@ def make_dem_train_step(
             fake = render_depth_images(
                 dem_pred, batch["dem_coarse"], batch["dsm_mask"], batch["dem_coarse_mask"],
                 rho=render_cfg.rho, width=render_cfg.width, multi_view=render_cfg.multi_view,
+                view_mode=render_cfg.view_mode,
             )
             logits = disc_apply(disc_variables, fake, train=False)
             g_loss = generator_hinge_loss(logits)
@@ -190,6 +192,7 @@ def make_discriminator_step(
             real_src, tgt, src_mask, tgt_mask,
             rho=render_cfg.rho, width=render_cfg.width,
             multi_view=render_cfg.multi_view,
+                view_mode=render_cfg.view_mode,
         )
         real = jax.lax.stop_gradient(real)
         (d_loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(

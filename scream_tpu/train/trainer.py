@@ -12,7 +12,7 @@ checkpoints instead of a batch-1 Python loop.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +33,7 @@ from scream_tpu.train.steps import (
     make_registration_train_step,
 )
 from scream_tpu.utils.checkpoint import BestCheckpointer
-from scream_tpu.utils.logging import MetricsLogger, progressbar
+from scream_tpu.utils.logging import MetricsLogger
 
 
 def _to_device(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -118,6 +118,7 @@ class RegistrationTrainer:
                 batch["src"], batch["tgt"], batch["src_mask"], batch["tgt_mask"],
                 rho=self.render_cfg.rho, width=self.render_cfg.width,
                 multi_view=self.render_cfg.multi_view,
+                view_mode=self.render_cfg.view_mode,
             )
             dvars = self.disc.init(
                 jax.random.PRNGKey(1), images_to_nhwc(imgs), train=False
@@ -320,6 +321,7 @@ class DEMTrainer:
                 batch["dsm_mask"], batch["dem_coarse_mask"],
                 rho=self.render_cfg.rho, width=self.render_cfg.width,
                 multi_view=self.render_cfg.multi_view,
+                view_mode=self.render_cfg.view_mode,
             )
             dvars = self.disc.init(jax.random.PRNGKey(1), images_to_nhwc(imgs), train=False)
             self.disc_state = DiscState(

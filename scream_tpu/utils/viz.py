@@ -121,6 +121,39 @@ def save_depth_image_grid(imgs: np.ndarray, path: str):
     plt.imsave(path, strip)
 
 
+def plot_prediction_error(
+    src_pred: np.ndarray,
+    src_gt: np.ndarray,
+    tgt: Optional[np.ndarray] = None,
+    threshold: float = 0.075,
+    path: Optional[str] = None,
+    point_size: float = 1.0,
+):
+    """Color predicted source points by correctness: within ``threshold`` of
+    their GT-registered position = green, mispredicted = red.
+
+    The reference's interactive ``look()`` QA view
+    (`/root/reference/train_3d_match.py:54-103`, mispredicted coloring
+    `:94-97`).
+    """
+    fig, ax = _fig3d()
+    src_pred = np.asarray(src_pred)
+    err = np.linalg.norm(src_pred - np.asarray(src_gt), axis=-1)
+    ok = err < threshold
+    if tgt is not None:
+        ax.scatter(*np.asarray(tgt).T, c=[TGT_COLOR], s=point_size, label="tgt")
+    ax.scatter(*src_pred[ok].T, c=[PRED_COLOR], s=point_size, label="pred ok")
+    if (~ok).any():
+        ax.scatter(*src_pred[~ok].T, c="red", s=point_size * 2, label="mispredicted")
+    ax.legend()
+    if path:
+        fig.savefig(path, dpi=120)
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+    return fig
+
+
 def plot_dem_height(
     points: np.ndarray,
     path: Optional[str] = None,

@@ -138,3 +138,11 @@ class TestViz:
                                  scale_factor=1.0)
         assert out.shape == (8, 3)
         assert out[4:, 0].min() == 100
+
+    def test_plot_prediction_error(self, tmp_path, rng):
+        gt = rng.standard_normal((40, 3))
+        pred = gt.copy()
+        pred[:5] += 0.5  # mispredicted points
+        viz.plot_prediction_error(pred, gt, tgt=rng.standard_normal((30, 3)),
+                                  path=str(tmp_path / "err.png"))
+        assert (tmp_path / "err.png").stat().st_size > 0

@@ -133,3 +133,28 @@ class TestDiscriminator:
         assert float(discriminator_hinge_loss(real, fake)) == pytest.approx(0.5 * (0.25 + 0.75))
         assert float(adopt_weight(jnp.float32(0.1), jnp.int32(5), threshold=10)) == 0.0
         assert float(adopt_weight(jnp.float32(0.1), jnp.int32(15), threshold=10)) == pytest.approx(0.1)
+
+
+class TestViewModes:
+    def test_back_view_is_ry_pi(self):
+        V = np.asarray(view_matrices(view_mode="back"))
+        assert V.shape == (1, 3, 3)
+        # Ry(pi): +z -> -z, +x -> -x
+        np.testing.assert_allclose(V[0] @ [0, 0, 1], [0, 0, -1], atol=1e-7)
+        np.testing.assert_allclose(V[0] @ [1, 0, 0], [-1, 0, 0], atol=1e-7)
+
+    def test_kitti_gan_preset(self):
+        from scream_tpu.config import kitti_gan_render_config
+
+        cfg = kitti_gan_render_config()
+        assert cfg.rho == 48.0 and cfg.view_mode == "back"
+
+    def test_render_with_back_view(self, rng):
+        src = jnp.asarray(rng.uniform(-1, 1, (10, 3)), jnp.float32)[None]
+        imgs = render_depth_images(src, src, rho=6.0, width=16, tile=256,
+                                   view_mode="back")
+        assert imgs.shape == (1, 1, 2, 16, 16)
+
+    def test_unknown_mode_raises(self):
+        with pytest.raises(ValueError):
+            view_matrices(view_mode="sideways")
