@@ -31,12 +31,18 @@ class ModelConfig:
     ffn_mult: int = 4
     # bf16 compute / fp32 params replaces the reference's AMP (train_kitti.py:52).
     dtype: str = "bfloat16"
+    # LayerNorm computation dtype; "bfloat16" halves the norms' HBM traffic.
+    norm_dtype: str = "float32"
     separate_stems: bool = False  # True for the DEM (OpenGF) variant
     remat: bool = False  # rematerialize attention blocks during training
 
     @property
     def compute_dtype(self):
         return jnp.dtype(self.dtype)
+
+    @property
+    def norm_compute_dtype(self):
+        return jnp.dtype(self.norm_dtype)
 
 
 @dataclasses.dataclass(frozen=True)

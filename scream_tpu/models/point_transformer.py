@@ -58,7 +58,8 @@ class _Trunk(nn.Module):
 
         Block = nn.remat(AttentionBlock) if cfg.remat else AttentionBlock
         block = lambda name: Block(
-            cfg.d_model, cfg.num_heads, cfg.ffn_mult, dtype=dt, name=name
+            cfg.d_model, cfg.num_heads, cfg.ffn_mult, dtype=dt,
+            norm_dtype=cfg.norm_compute_dtype, name=name
         )
 
         # Self-attention stems. PointTransformer shares one stack between both
