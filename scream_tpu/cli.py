@@ -55,6 +55,7 @@ def _registration_loaders(task, data_cfg, train_cfg, root, synthetic_len=64):
                 root, split, normalize=data_cfg.normalize, augment=augment,
                 perturb_both_sides=data_cfg.perturb_both_sides,
                 jitter_std=data_cfg.augment_jitter_std,
+                max_points=cap,
             )
         else:
             print(f"[cli] {path} not found; using synthetic pairs", file=sys.stderr)
@@ -72,6 +73,8 @@ def _registration_loaders(task, data_cfg, train_cfg, root, synthetic_len=64):
 
 def cmd_train(args):
     model_cfg, train_cfg, data_cfg, eval_cfg = TASKS[args.task]()
+    if args.max_points:
+        data_cfg = dataclasses.replace(data_cfg, max_points=args.max_points)
     if args.epochs:
         train_cfg = dataclasses.replace(train_cfg, epochs=args.epochs)
     if args.batch_size:
@@ -179,6 +182,8 @@ def cmd_evaluate(args):
         "kitti" if args.protocol == "kitti" else "3dmatch"
     )
     model_cfg, train_cfg, data_cfg, eval_cfg = TASKS[task]()
+    if args.max_points:
+        data_cfg = dataclasses.replace(data_cfg, max_points=args.max_points)
     split, normalize = EVAL_SPLITS[args.protocol]
     root = args.root
     cap = data_cfg.max_points
@@ -217,7 +222,8 @@ def cmd_evaluate(args):
     else:
         if os.path.isdir(os.path.join(root, split)):
             ds = PairDataset(root, split, normalize=normalize,
-                             with_info=args.protocol.startswith("3d"))
+                             with_info=args.protocol.startswith("3d"),
+                             max_points=cap)
         else:
             print(f"[cli] {split} not found; synthetic pairs", file=sys.stderr)
             ds = SyntheticPairDataset(length=16, n_src=cap // 2, n_tgt=cap // 2,
@@ -315,6 +321,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--batch-size", type=int, default=None)
     t.add_argument("--gan", action="store_true")
     t.add_argument("--checkpoint-dir", default="checkpoints")
+    t.add_argument("--max-points", type=int, default=None,
+                   help="padding bucket; oversize clouds are subsampled")
     t.add_argument("--profile-dir", default=None,
                    help="capture an XLA trace of the first epoch here")
     t.add_argument("--sample-img-dir", default=None,
@@ -326,6 +334,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--root", default="data")
     e.add_argument("--params", default=None, help="orbax params dir")
     e.add_argument("--batch-size", type=int, default=8)
+    e.add_argument("--max-points", type=int, default=None,
+                   help="padding bucket; oversize clouds are subsampled")
     e.set_defaults(fn=cmd_evaluate)
 
     pr = sub.add_parser("preprocess", help="raw data -> .npy artifacts")

@@ -82,7 +82,13 @@ class PairDataset:
         jitter_std: float = 0.003,
         with_info: bool = False,
         seed: int = 0,
+        max_points: Optional[int] = None,
     ):
+        """``max_points``: clouds larger than this are deterministically
+        random-subsampled on read (seeded per item) so they fit the padding
+        bucket. None = strict (the loader errors on oversize clouds). The
+        reference runs every cloud unsubsampled at batch 1; set the capacity
+        to the dataset's max cloud size for exact parity."""
         self.dir = os.path.join(root, split_dir)
         self.split_dir = split_dir
         self.normalize = normalize
@@ -90,6 +96,7 @@ class PairDataset:
         self.perturb_both_sides = perturb_both_sides
         self.jitter_std = jitter_std
         self.with_info = with_info
+        self.max_points = max_points
         self.rng = np.random.default_rng(seed)
         self.length = _count_items(self.dir)
         self.scene_names: Optional[List[str]] = None
@@ -102,9 +109,15 @@ class PairDataset:
     def __len__(self) -> int:
         return self.length
 
+    def _cap(self, pts: np.ndarray, item: int, salt: int) -> np.ndarray:
+        if self.max_points is None or len(pts) <= self.max_points:
+            return pts
+        r = np.random.default_rng(item * 2 + salt)
+        return pts[r.choice(len(pts), self.max_points, replace=False)]
+
     def __getitem__(self, item: int) -> Dict[str, np.ndarray]:
-        src = np.load(os.path.join(self.dir, "src%d.npy" % item))
-        tgt = np.load(os.path.join(self.dir, "tgt%d.npy" % item))
+        src = self._cap(np.load(os.path.join(self.dir, "src%d.npy" % item)), item, 0)
+        tgt = self._cap(np.load(os.path.join(self.dir, "tgt%d.npy" % item)), item, 1)
         T = np.load(os.path.join(self.dir, "T%d.npy" % item))
 
         if self.augment:

@@ -147,3 +147,25 @@ class TestBatching:
         ds = SyntheticPairDataset(length=4, n_src=32, n_tgt=32, seed=5)
         a, b = ds[2], ds[2]
         np.testing.assert_array_equal(a["src"], b["src"])
+
+
+class TestCapacityCap:
+    def test_oversize_clouds_subsampled(self, tmp_path, rng):
+        import os
+
+        split = tmp_path / "3DMatch_test"
+        split.mkdir(parents=True)
+        np.save(split / "src0.npy", rng.standard_normal((700, 3)))
+        np.save(split / "tgt0.npy", rng.standard_normal((900, 3)))
+        np.save(split / "T0.npy", np.eye(4))
+        from scream_tpu.data import PairDataset
+
+        ds = PairDataset(str(tmp_path), "3DMatch_test", max_points=512)
+        item = ds[0]
+        assert item["src"].shape[0] == 512
+        assert item["tgt"].shape[0] == 512
+        # deterministic: same item twice -> same subsample
+        np.testing.assert_array_equal(ds[0]["src"], item["src"])
+        # strict mode errors downstream (pad_cloud), not silently
+        ds_strict = PairDataset(str(tmp_path), "3DMatch_test")
+        assert ds_strict[0]["src"].shape[0] == 700
