@@ -9,7 +9,7 @@ from scream_tpu.data.datasets import (
     PairDataset,
     SyntheticPairDataset,
 )
-from scream_tpu.data.loader import DEMLoader, PairLoader
+from scream_tpu.data.loader import DEMLoader, PairLoader, prefetch_to_device
 
 __all__ = [
     "preprocess",
@@ -26,4 +26,5 @@ __all__ = [
     "SyntheticPairDataset",
     "DEMLoader",
     "PairLoader",
+    "prefetch_to_device",
 ]

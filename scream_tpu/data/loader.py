@@ -94,6 +94,38 @@ class PairLoader:
             stop.set()
 
 
+def prefetch_to_device(iterator, size: int = 2):
+    """Asynchronously stage host batches on the device, ``size`` ahead.
+
+    ``jax.device_put`` is async — dispatching the transfer for batch i+1
+    while batch i computes hides the host->device copy (substantial when the
+    device link is slow). Yields dicts of device arrays.
+    """
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+
+    queue = collections.deque()
+
+    def stage(batch):
+        return {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue.append(stage(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(stage(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 class DEMLoader(PairLoader):
     """OpenGF variant: pads dsm/dem/dem_coarse with independent capacities."""
 

@@ -145,10 +145,11 @@ class RegistrationTrainer:
         self.state = TrainState(**restored["gen"])
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
+        from scream_tpu.data.loader import prefetch_to_device
+
         sums: Dict[str, float] = {}
         count = 0
-        for batch in self.train_loader:
-            batch = _to_device(batch)
+        for batch in prefetch_to_device(self.train_loader):
             disc_vars = self.disc_state.variables if self.use_gan else None
             self.state, metrics, fake = self.train_step(self.state, batch, disc_vars)
             if self.use_gan:
@@ -176,11 +177,15 @@ class RegistrationTrainer:
                     )
             count += 1
             self.throughput.step(batch["src"].shape[0])
+            # Accumulate on device; converting per step would force a sync
+            # every iteration (each float() is a device round trip).
             for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            metrics["pairs_per_sec"] = self.throughput.items_per_sec
-            self.logger.log(int(self.state.step), metrics, prefix="train")
-        out = {k: v / max(count, 1) for k, v in sums.items()}
+                sums[k] = sums.get(k, 0.0) + v
+            if count % self.logger.print_every == 0:
+                snap = {k: float(v) / count for k, v in sums.items()}
+                snap["pairs_per_sec"] = self.throughput.items_per_sec
+                self.logger.log(int(self.state.step), snap, prefix="train")
+        out = {k: float(v) / max(count, 1) for k, v in sums.items()}
         out["pairs_per_sec"] = self.throughput.items_per_sec
         return out
 
@@ -331,10 +336,11 @@ class DEMTrainer:
         return self.state
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
+        from scream_tpu.data.loader import prefetch_to_device
+
         sums: Dict[str, float] = {}
         count = 0
-        for batch in self.train_loader:
-            batch = _to_device(batch)
+        for batch in prefetch_to_device(self.train_loader):
             disc_vars = self.disc_state.variables if self.use_gan else None
             self.state, metrics, fake = self.train_step(self.state, batch, disc_vars)
             if self.use_gan:
@@ -345,9 +351,11 @@ class DEMTrainer:
                 metrics["d_loss"] = d_loss
             count += 1
             for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            self.logger.log(int(self.state.step), metrics, prefix="train")
-        return {k: v / max(count, 1) for k, v in sums.items()}
+                sums[k] = sums.get(k, 0.0) + v
+            if count % self.logger.print_every == 0:
+                snap = {k: float(v) / count for k, v in sums.items()}
+                self.logger.log(int(self.state.step), snap, prefix="train")
+        return {k: float(v) / max(count, 1) for k, v in sums.items()}
 
     def evaluate(self) -> Dict[str, float]:
         from scream_tpu.geometry.metrics import chamfer_distance, height_mae
