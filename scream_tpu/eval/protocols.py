@@ -84,13 +84,8 @@ def evaluate_registration_per_scene(
     success_total = 0
     sum_re, sum_te = 0.0, 0.0
 
-    for batch in loader:
-        dev = _to_device(batch)
-        m = register_batch(
-            apply_fn, params, dev,
-            dis_thresh=dis_thresh, corr=corr,
-            icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
-        )
+    def _consume(m, batch):
+        nonlocal total, success_total, sum_re, sum_te
         re = np.asarray(m.re_deg)
         te = np.asarray(m.te)
         rmse = np.asarray(m.rmse)
@@ -109,12 +104,27 @@ def evaluate_registration_per_scene(
         for i in range(len(re)):
             if not gap[i]:
                 continue
-            s = int(scene[i])
-            scene_valid[s] += 1
+            sc = int(scene[i])
+            scene_valid[sc] += 1
             if ok[i]:
-                scene_success[s] += 1
-                scene_re[s].append(float(re[i]))
-                scene_te[s].append(float(te[i]))
+                scene_success[sc] += 1
+                scene_re[sc].append(float(re[i]))
+                scene_te[sc].append(float(te[i]))
+
+    # Lag-1 pipeline: dispatch the next batch before fetching the previous
+    # result, so the host fetch overlaps device compute.
+    pending = None
+    for batch in loader:
+        m = register_batch(
+            apply_fn, params, _to_device(batch),
+            dis_thresh=dis_thresh, corr=corr,
+            icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
+        )
+        if pending is not None:
+            _consume(*pending)
+        pending = (m, batch)
+    if pending is not None:
+        _consume(*pending)
 
     stat = np.median if re_stat == "median" else np.mean
     per_scene_rr, per_scene_re, per_scene_te = [], [], []
@@ -185,13 +195,9 @@ def evaluate_kitti(
     """
     total = 0
     succ, succ_re, succ_te = 0, 0.0, 0.0
-    for batch in loader:
-        dev = _to_device(batch)
-        m = register_batch(
-            apply_fn, params, dev,
-            dis_thresh=dis_thresh, corr="tgt",
-            icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
-        )
+
+    def _consume(m):
+        nonlocal total, succ, succ_re, succ_te
         re = np.asarray(m.re_deg)
         te = np.asarray(m.te)
         ok = (re <= success_re_deg) & (te <= success_te)
@@ -199,6 +205,19 @@ def evaluate_kitti(
         succ += int(ok.sum())
         succ_re += float(re[ok].sum())
         succ_te += float(te[ok].sum())
+
+    pending = None
+    for batch in loader:
+        m = register_batch(
+            apply_fn, params, _to_device(batch),
+            dis_thresh=dis_thresh, corr="tgt",
+            icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
+        )
+        if pending is not None:
+            _consume(pending)
+        pending = m
+    if pending is not None:
+        _consume(pending)
     return {
         "success_rate": succ / max(total, 1),
         "success_rre": succ_re / max(succ, 1),
