@@ -29,6 +29,27 @@ def discriminator_hinge_loss(
     return 0.5 * (loss_real + loss_fake)
 
 
+def calculate_adaptive_weight(
+    nll_grads, g_grads, discriminator_weight: float = 1.0, eps: float = 1e-4,
+    max_weight: float = 1e4,
+) -> jnp.ndarray:
+    """VQGAN-style adaptive GAN weight from last-layer gradients.
+
+    Functional version of `/root/reference/loss.py:37-48` (unused by the
+    reference's training loops but part of its shipped loss surface): the
+    ratio of reconstruction-loss to GAN-loss gradient norms at the generator's
+    last layer, clipped, stop-gradient'd, scaled. Pass the two gradient
+    pytrees of the last layer (e.g. from ``jax.grad`` with respect to it).
+    """
+
+    def norm(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return jnp.sqrt(sum(jnp.sum(l.astype(jnp.float32) ** 2) for l in leaves))
+
+    w = norm(nll_grads) / (norm(g_grads) + eps)
+    return jax.lax.stop_gradient(jnp.clip(w, 0.0, max_weight)) * discriminator_weight
+
+
 def adopt_weight(
     weight: jnp.ndarray, global_step: jnp.ndarray, threshold: int = 0, value: float = 0.0
 ) -> jnp.ndarray:

@@ -196,19 +196,27 @@ class RegistrationTrainer:
         (`/root/reference/train_3d_match.py:106-153`,
         `/root/reference/train_kitti.py:63-135`).
         """
+        if not hasattr(self, "_val_loss_jit"):
+            # Jit once: an unjitted model.apply here would dispatch op-by-op.
+            def _val_loss(params, batch):
+                src_center = jnp.swapaxes(batch["trans"], -1, -2)
+                src_pred = self.model.apply(
+                    {"params": params},
+                    batch["src"], batch["tgt"], batch["src_mask"],
+                    batch["tgt_mask"], src_center,
+                ).astype(jnp.float32)
+                return PointTransformer.loss(
+                    src_pred, batch["src"], batch["rot"], batch["trans"],
+                    batch["src_mask"],
+                )
+
+            self._val_loss_jit = jax.jit(_val_loss)
+
         tot_loss, tot_re, tot_te, n = 0.0, 0.0, 0.0, 0
         succ, succ_re, succ_te = 0, 0.0, 0.0
         for batch in self.val_loader:
             batch = _to_device(batch)
-            src_center = jnp.swapaxes(batch["trans"], -1, -2)
-            src_pred = self.model.apply(
-                {"params": self.state.params},
-                batch["src"], batch["tgt"], batch["src_mask"], batch["tgt_mask"],
-                src_center,
-            ).astype(jnp.float32)
-            loss = PointTransformer.loss(
-                src_pred, batch["src"], batch["rot"], batch["trans"], batch["src_mask"]
-            )
+            loss = self._val_loss_jit(self.state.params, batch)
             m = register_batch(
                 self._apply_fn, self.state.params, batch,
                 dis_thresh=self.eval_cfg.dis_thresh, corr=self.eval_cfg.corr,
@@ -360,16 +368,25 @@ class DEMTrainer:
     def evaluate(self) -> Dict[str, float]:
         from scream_tpu.geometry.metrics import chamfer_distance, height_mae
 
+        if not hasattr(self, "_val_metrics_jit"):
+            def _val_metrics(params, batch):
+                dem_pred = self.model.apply(
+                    {"params": params},
+                    batch["dsm"], batch["dem_coarse"],
+                    batch["dsm_mask"], batch["dem_coarse_mask"],
+                ).astype(jnp.float32)
+                cd = chamfer_distance(dem_pred, batch["dem"], batch["dsm_mask"],
+                                      batch["dem_mask"])
+                h = height_mae(dem_pred, batch["dem"],
+                               batch["dsm_mask"] & batch["dem_mask"])
+                return cd, h
+
+            self._val_metrics_jit = jax.jit(_val_metrics)
+
         tot_cd, tot_h, n = 0.0, 0.0, 0
         for batch in self.val_loader:
             batch = _to_device(batch)
-            dem_pred = self.model.apply(
-                {"params": self.state.params},
-                batch["dsm"], batch["dem_coarse"],
-                batch["dsm_mask"], batch["dem_coarse_mask"],
-            ).astype(jnp.float32)
-            cd = chamfer_distance(dem_pred, batch["dem"], batch["dsm_mask"], batch["dem_mask"])
-            h = height_mae(dem_pred, batch["dem"], batch["dsm_mask"] & batch["dem_mask"])
+            cd, h = self._val_metrics_jit(self.state.params, batch)
             b = cd.shape[0]
             tot_cd += float(jnp.sum(cd))
             tot_h += float(jnp.sum(h))

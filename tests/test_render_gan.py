@@ -158,3 +158,17 @@ class TestViewModes:
     def test_unknown_mode_raises(self):
         with pytest.raises(ValueError):
             view_matrices(view_mode="sideways")
+
+
+class TestAdaptiveWeight:
+    def test_ratio_and_clip(self):
+        from scream_tpu.models.losses import calculate_adaptive_weight
+
+        nll = {"w": jnp.asarray([3.0, 4.0])}   # norm 5
+        g = {"w": jnp.asarray([0.0, 2.0])}     # norm 2
+        w = calculate_adaptive_weight(nll, g)
+        assert float(w) == pytest.approx(2.5, rel=1e-3)
+        # clipping
+        tiny = {"w": jnp.asarray([1e-9])}
+        w2 = calculate_adaptive_weight(nll, tiny)
+        assert float(w2) <= 1e4
