@@ -71,8 +71,20 @@ def _registration_loaders(task, data_cfg, train_cfg, root, synthetic_len=64):
     return make(split_train, True), make(split_val, False)
 
 
+def _apply_model_overrides(model_cfg, args):
+    over = {}
+    if getattr(args, "d_model", None):
+        over["d_model"] = args.d_model
+    if getattr(args, "self_layers", None):
+        over["self_layers"] = args.self_layers
+    if getattr(args, "cross_layers", None):
+        over["cross_layers"] = args.cross_layers
+    return dataclasses.replace(model_cfg, **over) if over else model_cfg
+
+
 def cmd_train(args):
     model_cfg, train_cfg, data_cfg, eval_cfg = TASKS[args.task]()
+    model_cfg = _apply_model_overrides(model_cfg, args)
     if args.max_points:
         data_cfg = dataclasses.replace(data_cfg, max_points=args.max_points)
     if args.epochs:
@@ -182,6 +194,7 @@ def cmd_evaluate(args):
         "kitti" if args.protocol == "kitti" else "3dmatch"
     )
     model_cfg, train_cfg, data_cfg, eval_cfg = TASKS[task]()
+    model_cfg = _apply_model_overrides(model_cfg, args)
     if args.max_points:
         data_cfg = dataclasses.replace(data_cfg, max_points=args.max_points)
     split, normalize = EVAL_SPLITS[args.protocol]
@@ -323,6 +336,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--checkpoint-dir", default="checkpoints")
     t.add_argument("--max-points", type=int, default=None,
                    help="padding bucket; oversize clouds are subsampled")
+    t.add_argument("--d-model", type=int, default=None)
+    t.add_argument("--self-layers", type=int, default=None)
+    t.add_argument("--cross-layers", type=int, default=None)
     t.add_argument("--profile-dir", default=None,
                    help="capture an XLA trace of the first epoch here")
     t.add_argument("--sample-img-dir", default=None,
@@ -336,6 +352,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--batch-size", type=int, default=8)
     e.add_argument("--max-points", type=int, default=None,
                    help="padding bucket; oversize clouds are subsampled")
+    e.add_argument("--d-model", type=int, default=None)
+    e.add_argument("--self-layers", type=int, default=None)
+    e.add_argument("--cross-layers", type=int, default=None)
     e.set_defaults(fn=cmd_evaluate)
 
     pr = sub.add_parser("preprocess", help="raw data -> .npy artifacts")
