@@ -99,9 +99,13 @@ def make_dem_patch(
 ) -> Dict[str, np.ndarray]:
     """A synthetic OpenGF-style patch: smooth ground DEM + DSM with clutter.
 
-    DSM = ground points plus raised 'building/vegetation' points; DEM = dense
-    ground samples; coarse DEM = sparse ground subsample (the reference builds
-    it by voxel-downsampling the DEM, `/root/reference/datasets/open_gf.py:22`).
+    Mirrors the reference's per-patch structure
+    (`/root/reference/process_open_gf.py:217-231`): ``dsm[i]`` is the highest
+    surface point in the 2-D neighborhood of ``dem[i]`` — same xy up to a
+    small offset, z raised where buildings/vegetation sit — so the per-index
+    L1 training loss (`/root/reference/models/pointnet.py:163-167`) is
+    well-posed. Coarse DEM = sparse ground subsample (the reference
+    voxel-downsamples the DEM, `/root/reference/datasets/open_gf.py:22`).
     """
 
     def ground_z(xy):
@@ -109,10 +113,11 @@ def make_dem_patch(
             np.sin(2.1 * xy[:, 0]) * np.cos(1.7 * xy[:, 1]) + 0.3 * np.sin(0.9 * xy[:, 0] + 1.0)
         )
 
-    xy_dem = rng.uniform(-extent, extent, (n_dem, 2))
-    dem = np.concatenate([xy_dem, ground_z(xy_dem)[:, None]], axis=1)
+    n = max(n_dsm, n_dem)
+    xy = rng.uniform(-extent, extent, (n, 2))
+    dem = np.concatenate([xy, ground_z(xy)[:, None]], axis=1)[:n_dem]
 
-    xy_dsm = rng.uniform(-extent, extent, (n_dsm, 2))
+    xy_dsm = xy[:n_dsm] + rng.standard_normal((n_dsm, 2)) * 0.01 * extent
     z = ground_z(xy_dsm)
     raised = rng.random(n_dsm) < 0.35
     z = z + raised * rng.uniform(0.1, 0.6 * extent, n_dsm)

@@ -10,6 +10,7 @@ from scream_tpu.geometry.pairwise import (
     nearest_neighbor,
     radius_count,
 )
+from scream_tpu.geometry.icp import ICPResult, icp_refine_if_better, registration_icp
 from scream_tpu.geometry.kabsch import kabsch, integrate_trans
 from scream_tpu.geometry.metrics import (
     transformation_error,
@@ -24,6 +25,9 @@ __all__ = [
     "masked_square_distance",
     "nearest_neighbor",
     "radius_count",
+    "ICPResult",
+    "icp_refine_if_better",
+    "registration_icp",
     "kabsch",
     "integrate_trans",
     "transformation_error",

@@ -212,3 +212,36 @@ class TestSE3:
 
         J_auto = jax.jacobian(f)(jnp.zeros(6))
         assert np.allclose(J_auto, se3.jacob_Dexpe_de(D), atol=1e-4)
+
+
+class TestBoxplus:
+    def test_boxplus_left_right_roundtrip(self, rng):
+        import jax.numpy as jnp
+
+        v = jnp.asarray(rng.standard_normal((4, 6)) * 0.3, jnp.float32)
+        d = jnp.asarray(rng.standard_normal((4, 6)) * 0.1, jnp.float32)
+        T = se3.exp(v)  # (B, 3, 4) convention
+        L = np.asarray(se3.boxplus_left(T, d))
+        R_ = np.asarray(se3.boxplus_right(T, d))
+        expL = np.asarray(se3.se3_cat(se3.exp(d), T))
+        expR = np.asarray(se3.se3_cat(T, se3.exp(d)))
+        np.testing.assert_allclose(L, expL, atol=1e-4)
+        np.testing.assert_allclose(R_, expR, atol=1e-4)
+        # rotations stay orthonormal
+        R = L[:, :3, :3]
+        np.testing.assert_allclose(R @ np.swapaxes(R, -1, -2),
+                                   np.broadcast_to(np.eye(3), R.shape), atol=1e-4)
+
+    def test_boxplus_pseudo_keeps_translation_semantics(self, rng):
+        import jax.numpy as jnp
+
+        v = jnp.asarray(rng.standard_normal((2, 6)) * 0.2, jnp.float32)
+        d = jnp.asarray(rng.standard_normal((2, 6)) * 0.05, jnp.float32)
+        T = se3.exp(v)
+        P = np.asarray(se3.boxplus_left(T, d, pseudo=True))
+        expP = np.asarray(se3.se3_cat(se3.pexp(d), T))
+        np.testing.assert_allclose(P, expP, atol=1e-4)
+        # pexp takes the translation verbatim: vec layout is [u, w]
+        # (translation first), so t == delta[:, :3]
+        np.testing.assert_allclose(np.asarray(se3.pexp(d))[:, :3, 3],
+                                   np.asarray(d)[:, :3], atol=1e-6)
