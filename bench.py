@@ -104,6 +104,29 @@ def main():
         file=sys.stderr,
     )
 
+    # Secondary: throughput mode (exact NN over a strided 1024-point ICP
+    # subsample; pose quality matches full ICP on oracle checks).
+    def dispatch_sub(b):
+        return register_batch(
+            apply_fn, params, b, dis_thresh=0.1, corr="tgt",
+            icp_thresh=0.1, icp_max_iter=ICP_ITERS, icp_subsample=1024,
+        )
+
+    np.asarray(dispatch_sub(batches[0]).transform)
+    t0 = time.time()
+    pending = dispatch_sub(batches[1])
+    for b in batches[2:]:
+        nxt = dispatch_sub(b)
+        np.asarray(pending.transform)
+        pending = nxt
+    np.asarray(pending.transform)
+    sub_pps = BATCH * ITERS / (time.time() - t0)
+    print(
+        json.dumps({"metric": "3dmatch_registration_pairs_per_sec_icp_subsampled",
+                    "value": round(sub_pps, 2), "unit": "pairs/sec"}),
+        file=sys.stderr,
+    )
+
 
 def _timed(fn, make_input, iters=3):
     """Median sync wall time; distinct input + host fetch per call (the
