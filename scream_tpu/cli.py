@@ -310,17 +310,64 @@ def cmd_visualize(args):
     from scream_tpu.data import PairDataset
     from scream_tpu.utils import viz
 
-    ds = PairDataset(args.root, args.split, with_info=False)
+    ds = PairDataset(args.root, args.split, with_info=False,
+                     max_points=args.max_points)
     item = ds[args.item]
-    T = np.eye(4)
-    T[:3, :3] = item["rot"]
-    T[:3, 3] = item["trans"].reshape(3)
+    T_gt = np.eye(4)
+    T_gt[:3, :3] = item["rot"]
+    T_gt[:3, 3] = item["trans"].reshape(3)
     os.makedirs(args.out, exist_ok=True)
-    before = os.path.join(args.out, f"{args.split}_{args.item}_before.png")
-    after = os.path.join(args.out, f"{args.split}_{args.item}_registered.png")
-    viz.plot_registration(item["src"], item["tgt"], None, path=before)
-    viz.plot_registration(item["src"], item["tgt"], T, path=after)
-    print(json.dumps({"before": before, "registered": after}))
+    stem = os.path.join(args.out, f"{args.split}_{args.item}")
+    out = {"before": stem + "_before.png", "gt": stem + "_gt.png"}
+    viz.plot_registration(item["src"], item["tgt"], None, path=out["before"])
+    viz.plot_registration(item["src"], item["tgt"], T_gt, path=out["gt"])
+
+    if args.params:
+        # Model views: predicted source, estimated registration, prediction
+        # error — the reference's look()/visualize_3d_match flows.
+        import jax
+        import jax.numpy as jnp
+
+        from scream_tpu.data import PairLoader
+        from scream_tpu.models.point_transformer import PointTransformer
+        from scream_tpu.pipeline.register import register_batch
+        from scream_tpu.config import ModelConfig
+
+        model_cfg = _apply_model_overrides(ModelConfig(), args)
+        model = PointTransformer(model_cfg)
+        cap = args.max_points or (len(item["src"]) + 64)
+
+        class _One:
+            def __len__(self):
+                return 1
+
+            def __getitem__(self, i):
+                return ds[args.item]
+
+        b = next(iter(PairLoader(_One(), batch_size=1, src_capacity=cap,
+                                 tgt_capacity=cap)))
+        dev = {k: jnp.asarray(v) for k, v in b.items()}
+        apply_fn, params = _load_model_params("3dmatch", model_cfg, args.params, dev)
+        src_pred = apply_fn(params, dev["src"], dev["tgt"], dev["src_mask"],
+                            dev["tgt_mask"], jnp.swapaxes(dev["trans"], -1, -2))
+        m = register_batch(apply_fn, params, dev, dis_thresh=0.09, corr="tgt",
+                           icp_thresh=0.2, icp_max_iter=20)
+        n = int(np.asarray(dev["src_mask"][0]).sum())
+        pred = np.asarray(src_pred[0])[:n]
+        gt_pos = np.asarray(dev["src"][0])[:n] @ item["rot"].T + item["trans"].reshape(3)
+        out["predicted"] = stem + "_predicted.png"
+        out["estimated"] = stem + "_estimated.png"
+        out["pred_error"] = stem + "_pred_error.png"
+        viz.plot_registration(item["src"], item["tgt"], None, src_pred=pred,
+                              path=out["predicted"])
+        viz.plot_registration(np.asarray(dev["src"][0])[:n],
+                              np.asarray(dev["tgt"][0])[:int(np.asarray(dev["tgt_mask"][0]).sum())],
+                              np.asarray(m.transform[0]), path=out["estimated"])
+        viz.plot_prediction_error(pred, gt_pos, tgt=item["tgt"],
+                                  path=out["pred_error"])
+        out["re_deg"] = float(m.re_deg[0])
+        out["te"] = float(m.te[0])
+    print(json.dumps(out))
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -371,6 +418,11 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--split", default="3DMatch_test")
     v.add_argument("--item", type=int, default=0)
     v.add_argument("--out", default="viz_out")
+    v.add_argument("--params", default=None, help="orbax params dir for model views")
+    v.add_argument("--max-points", type=int, default=None)
+    v.add_argument("--d-model", type=int, default=None)
+    v.add_argument("--self-layers", type=int, default=None)
+    v.add_argument("--cross-layers", type=int, default=None)
     v.set_defaults(fn=cmd_visualize)
     return p
 

@@ -62,4 +62,40 @@ class TestVisualize:
         main(["visualize", "--root", str(tmp_path), "--item", "0",
               "--out", str(tmp_path / "viz")])
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-        assert os.path.getsize(out["registered"]) > 0
+        assert os.path.getsize(out["gt"]) > 0
+        assert os.path.getsize(out["before"]) > 0
+
+    def test_visualize_with_params(self, capsys, tmp_path):
+        """Model views: predicted src, estimated registration, error plot."""
+        import jax
+        import numpy as np
+
+        from scream_tpu.config import ModelConfig
+        from scream_tpu.models.point_transformer import PointTransformer
+        from scream_tpu.utils.checkpoint import save_params
+
+        split_dir = tmp_path / "3DMatch_test"
+        split_dir.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        np.save(split_dir / "src0.npy", rng.standard_normal((40, 3)))
+        np.save(split_dir / "tgt0.npy", rng.standard_normal((50, 3)))
+        np.save(split_dir / "T0.npy", np.eye(4))
+
+        cfg = ModelConfig(d_model=32, num_heads=4, self_layers=1, cross_layers=1,
+                          dtype="float32")
+        model = PointTransformer(cfg)
+        import jax.numpy as jnp
+
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)),
+                            jnp.zeros((1, 64, 3)), jnp.ones((1, 64), bool),
+                            jnp.ones((1, 64), bool), jnp.zeros((1, 1, 3)))["params"]
+        save_params(str(tmp_path / "p"), params)
+
+        main(["visualize", "--root", str(tmp_path), "--item", "0",
+              "--out", str(tmp_path / "viz"), "--params", str(tmp_path / "p"),
+              "--max-points", "64", "--d-model", "32",
+              "--self-layers", "1", "--cross-layers", "1"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        for key in ("predicted", "estimated", "pred_error"):
+            assert os.path.getsize(out[key]) > 0
+        assert np.isfinite(out["re_deg"])
