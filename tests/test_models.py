@@ -201,3 +201,40 @@ class TestDEMTransformer:
         out = model.apply(params, src, tgt)
         assert out.dtype == jnp.float32
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestRemat:
+    def test_remat_training_step(self):
+        """ModelConfig(remat=True) must train identically (rematerialized
+        attention blocks trade recompute for activation memory)."""
+        import jax
+        import jax.numpy as jnp
+
+        from scream_tpu.config import ModelConfig
+        from scream_tpu.models.point_transformer import PointTransformer
+
+        rng = np.random.default_rng(0)
+        src = jnp.asarray(rng.standard_normal((2, 32, 3)), jnp.float32)
+        tgt = jnp.asarray(rng.standard_normal((2, 32, 3)), jnp.float32)
+        m = jnp.ones((2, 32), bool)
+        c = jnp.zeros((2, 1, 3), jnp.float32)
+        rot = jnp.broadcast_to(jnp.eye(3), (2, 3, 3))
+        trans = jnp.zeros((2, 3, 1))
+
+        outs = {}
+        for remat in (False, True):
+            cfg = ModelConfig(d_model=32, num_heads=4, self_layers=1,
+                              cross_layers=1, dtype="float32", remat=remat)
+            model = PointTransformer(cfg)
+            params = model.init(jax.random.PRNGKey(0), src, tgt, m, m, c)["params"]
+
+            def loss(p):
+                pred = model.apply({"params": p}, src, tgt, m, m, c)
+                return PointTransformer.loss(pred, src, rot, trans, m)
+
+            l, g = jax.value_and_grad(loss)(params)
+            outs[remat] = (float(l), g)
+        assert outs[False][0] == pytest.approx(outs[True][0], rel=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(outs[False][1]),
+                        jax.tree_util.tree_leaves(outs[True][1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
