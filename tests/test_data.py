@@ -169,3 +169,25 @@ class TestCapacityCap:
         # strict mode errors downstream (pad_cloud), not silently
         ds_strict = PairDataset(str(tmp_path), "3DMatch_test")
         assert ds_strict[0]["src"].shape[0] == 700
+
+
+class TestDevicePrefetch:
+    def test_prefetch_preserves_order_and_content(self):
+        from scream_tpu.data import prefetch_to_device
+
+        batches = [{"x": np.full((2, 2), i, np.float32)} for i in range(5)]
+        out = list(prefetch_to_device(iter(batches), size=2))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+
+    def test_prefetch_short_iterator(self):
+        from scream_tpu.data import prefetch_to_device
+
+        out = list(prefetch_to_device(iter([{"x": np.ones(3, np.float32)}]), size=4))
+        assert len(out) == 1
+
+    def test_prefetch_empty(self):
+        from scream_tpu.data import prefetch_to_device
+
+        assert list(prefetch_to_device(iter([]), size=2)) == []
