@@ -9,7 +9,12 @@ from scream_tpu.data.datasets import (
     PairDataset,
     SyntheticPairDataset,
 )
-from scream_tpu.data.loader import DEMLoader, PairLoader, prefetch_to_device
+from scream_tpu.data.loader import (
+    BucketedPairLoader,
+    DEMLoader,
+    PairLoader,
+    prefetch_to_device,
+)
 
 __all__ = [
     "preprocess",
@@ -24,6 +29,7 @@ __all__ = [
     "OpenGFDataset",
     "PairDataset",
     "SyntheticPairDataset",
+    "BucketedPairLoader",
     "DEMLoader",
     "PairLoader",
     "prefetch_to_device",

@@ -94,6 +94,102 @@ class PairLoader:
             stop.set()
 
 
+class BucketedPairLoader:
+    """Pad-to-bucket loader: items grouped by cloud size, one compile per bucket.
+
+    Real 3DMatch fragments span ~2k-20k points after voxel downsampling
+    (SURVEY.md §5); a single padding capacity wastes compute on small clouds.
+    This loader assigns each pair to the smallest bucket that fits
+    ``max(n_src, n_tgt)``, batches within buckets, and interleaves the
+    resulting batches — so XLA compiles once per bucket capacity and every
+    batch is tightly padded.
+
+    ``size_fn(dataset, i) -> (n_src, n_tgt)`` provides cheap size probing;
+    the default reads npy headers via mmap for PairDataset-layout datasets
+    and falls back to materializing the item.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        buckets=(1024, 2048, 4096, 8192, 16384),
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        num_workers: int = 4,
+        size_fn=None,
+    ):
+        from scream_tpu.data.batching import bucket_for
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.buckets = tuple(sorted(buckets))
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.num_workers = num_workers
+
+        size_fn = size_fn or _default_size_fn
+        self._assignment = {}
+        for i in range(len(dataset)):
+            n_src, n_tgt = size_fn(dataset, i)
+            cap = bucket_for(max(n_src, n_tgt), self.buckets)
+            self._assignment.setdefault(cap, []).append(i)
+
+    def __len__(self):
+        total = 0
+        for items in self._assignment.values():
+            n = len(items)
+            total += n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return total
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        plan = []  # (capacity, [indices])
+        for cap, items in self._assignment.items():
+            idxs = np.asarray(items)
+            if self.shuffle:
+                self.rng.shuffle(idxs)
+            for i in range(0, len(idxs), self.batch_size):
+                chunk = idxs[i : i + self.batch_size]
+                if self.drop_last and len(chunk) < self.batch_size:
+                    continue
+                plan.append((cap, chunk))
+        if self.shuffle:
+            self.rng.shuffle(plan)
+
+        if self.num_workers <= 0:
+            for cap, chunk in plan:
+                yield collate_pairs([self.dataset[int(i)] for i in chunk], cap)
+            return
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            for cap, chunk in plan:
+                items = list(pool.map(lambda i: self.dataset[int(i)], chunk))
+                yield collate_pairs(items, cap)
+
+
+def _default_size_fn(dataset, i):
+    """Cheap cloud-size probe: npy headers via mmap when the dataset exposes
+    the artifact layout, else materialize the item."""
+    import os
+
+    d = getattr(dataset, "dir", None)
+    if d is not None:
+        src_path = os.path.join(d, "src%d.npy" % i)
+        tgt_path = os.path.join(d, "tgt%d.npy" % i)
+        if os.path.exists(src_path):
+            n_src = np.load(src_path, mmap_mode="r").shape[0]
+            n_tgt = np.load(tgt_path, mmap_mode="r").shape[0]
+            cap = getattr(dataset, "max_points", None)
+            if cap:
+                n_src, n_tgt = min(n_src, cap), min(n_tgt, cap)
+            return n_src, n_tgt
+    item = dataset[i]
+    return len(item["src"]), len(item["tgt"])
+
+
 def prefetch_to_device(iterator, size: int = 2):
     """Asynchronously stage host batches on the device, ``size`` ahead.
 

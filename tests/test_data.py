@@ -191,3 +191,55 @@ class TestDevicePrefetch:
         from scream_tpu.data import prefetch_to_device
 
         assert list(prefetch_to_device(iter([]), size=2)) == []
+
+
+class TestBucketedLoader:
+    def _make_artifacts(self, tmp_path, sizes):
+        import os
+
+        split = tmp_path / "3DMatch_test"
+        split.mkdir(parents=True, exist_ok=True)
+        rng = np.random.default_rng(0)
+        for i, (ns, nt) in enumerate(sizes):
+            np.save(split / f"src{i}.npy", rng.standard_normal((ns, 3)))
+            np.save(split / f"tgt{i}.npy", rng.standard_normal((nt, 3)))
+            np.save(split / f"T{i}.npy", np.eye(4))
+        from scream_tpu.data import PairDataset
+
+        return PairDataset(str(tmp_path), "3DMatch_test")
+
+    def test_buckets_group_by_size(self, tmp_path):
+        from scream_tpu.data import BucketedPairLoader
+
+        sizes = [(100, 120), (90, 110), (600, 650), (700, 580), (100, 90), (95, 105)]
+        ds = self._make_artifacts(tmp_path, sizes)
+        loader = BucketedPairLoader(ds, batch_size=2, buckets=(128, 1024),
+                                    num_workers=0)
+        batches = list(loader)
+        assert len(batches) == len(loader)
+        caps = sorted(b["src"].shape[1] for b in batches)
+        # four small pairs -> two 128-capacity batches; two big -> one 1024
+        assert caps == [128, 128, 1024]
+        for b in batches:
+            # masks tight: every batch has at least one real point per row
+            assert np.all(b["src_mask"].sum(axis=1) > 0)
+
+    def test_interleave_and_drop_last(self, tmp_path):
+        from scream_tpu.data import BucketedPairLoader
+
+        sizes = [(50, 50)] * 5
+        ds = self._make_artifacts(tmp_path, sizes)
+        loader = BucketedPairLoader(ds, batch_size=2, buckets=(64,),
+                                    drop_last=True, num_workers=0)
+        assert len(list(loader)) == 2  # 5 items -> 2 full batches
+
+    def test_size_probe_respects_cap(self, tmp_path):
+        from scream_tpu.data import BucketedPairLoader, PairDataset
+
+        sizes = [(500, 400)]
+        self._make_artifacts(tmp_path, sizes)
+        ds = PairDataset(str(tmp_path), "3DMatch_test", max_points=128)
+        loader = BucketedPairLoader(ds, batch_size=1, buckets=(128, 1024),
+                                    num_workers=0)
+        b = next(iter(loader))
+        assert b["src"].shape[1] == 128  # capped cloud lands in the small bucket
