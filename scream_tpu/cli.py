@@ -244,7 +244,14 @@ def cmd_evaluate(args):
                                       with_info=args.protocol.startswith("3d"))
         if args.protocol == "kitti" and not isinstance(ds, SyntheticPairDataset):
             ds = protocols.SkipDataset(ds, (124, 142))
-        loader = PairLoader(ds, batch_size=args.batch_size, src_capacity=cap)
+        if args.bucketed:
+            from scream_tpu.data import BucketedPairLoader
+
+            buckets = tuple(b for b in (1024, 2048, 4096, 8192, 16384) if b <= cap) or (cap,)
+            loader = BucketedPairLoader(ds, batch_size=args.batch_size,
+                                        buckets=buckets)
+        else:
+            loader = PairLoader(ds, batch_size=args.batch_size, src_capacity=cap)
         batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
         apply_fn, params = _load_model_params(task, model_cfg, args.params, batch)
 
@@ -402,6 +409,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--d-model", type=int, default=None)
     e.add_argument("--self-layers", type=int, default=None)
     e.add_argument("--cross-layers", type=int, default=None)
+    e.add_argument("--bucketed", action="store_true",
+                   help="group pairs by cloud size (one compile per bucket)")
     e.set_defaults(fn=cmd_evaluate)
 
     pr = sub.add_parser("preprocess", help="raw data -> .npy artifacts")

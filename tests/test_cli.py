@@ -99,3 +99,37 @@ class TestVisualize:
         for key in ("predicted", "estimated", "pred_error"):
             assert os.path.getsize(out[key]) > 0
         assert np.isfinite(out["re_deg"])
+
+    def test_evaluate_bucketed(self, capsys, tmp_path, monkeypatch):
+        """--bucketed evaluates artifact data grouped by cloud size."""
+        import numpy as np
+
+        split = tmp_path / "3DMatch_test"
+        info = split / "info"
+        info.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        names = []
+        for i, n in enumerate((200, 900, 220, 880)):
+            np.save(split / f"src{i}.npy", rng.standard_normal((n, 3)))
+            np.save(split / f"tgt{i}.npy", rng.standard_normal((n + 20, 3)))
+            np.save(split / f"T{i}.npy", np.eye(4))
+            np.save(info / f"idx{i}.npy", np.array([i * 3, i * 3 + 2]))
+            np.save(info / f"covariance{i}.npy", np.eye(6, dtype=np.float32) * n)
+            names.append("7-scenes-redkitchen")
+        (info / "scene_names.txt").write_text("\n".join(names) + "\n")
+
+        import scream_tpu.cli as cli
+        import scream_tpu.config as config
+        import dataclasses
+
+        def tiny():
+            m, t, d, e = config.threedmatch_presets()
+            return (dataclasses.replace(m, d_model=32, num_heads=4, self_layers=1,
+                                        cross_layers=1, dtype="float32"),
+                    t, d, e)
+
+        monkeypatch.setitem(cli.TASKS, "3dmatch", tiny)
+        main(["evaluate", "3dmatch", "--root", str(tmp_path), "--batch-size", "2",
+              "--bucketed"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["n_pairs"] == 4
