@@ -32,6 +32,9 @@ import jax as _jax
 # dtypes, so this does not slow the transformer compute.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-from scream_tpu import geometry, models, ops, data, parallel, pipeline
+from scream_tpu import data, eval, geometry, models, ops, parallel, pipeline, train, utils
 
-__all__ = ["geometry", "models", "ops", "data", "parallel", "pipeline", "__version__"]
+__all__ = [
+    "data", "eval", "geometry", "models", "ops", "parallel", "pipeline",
+    "train", "utils", "__version__",
+]
