@@ -56,6 +56,10 @@ class RenderConfig:
     # single Ry(pi) view, /root/reference/train_kitti.py:45-48); None derives
     # from multi_view.
     view_mode: Optional[str] = None
+    # Pallas splat kernel: None = auto by default backend. Set False when
+    # compiling for CPU devices while a TPU backend is also registered (the
+    # auto check reads the default backend, not the target devices).
+    use_pallas: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -83,6 +83,7 @@ def make_registration_train_step(
                 rho=render_cfg.rho, width=render_cfg.width,
                 multi_view=render_cfg.multi_view,
                 view_mode=render_cfg.view_mode,
+                use_pallas=render_cfg.use_pallas,
             )
             b, v, c, h, w = fake.shape
             logits = disc_apply(disc_variables, fake, train=False)
@@ -137,6 +138,7 @@ def make_dem_train_step(
                 dem_pred, batch["dem_coarse"], batch["dsm_mask"], batch["dem_coarse_mask"],
                 rho=render_cfg.rho, width=render_cfg.width, multi_view=render_cfg.multi_view,
                 view_mode=render_cfg.view_mode,
+                use_pallas=render_cfg.use_pallas,
             )
             logits = disc_apply(disc_variables, fake, train=False)
             g_loss = generator_hinge_loss(logits)
@@ -193,6 +195,7 @@ def make_discriminator_step(
             rho=render_cfg.rho, width=render_cfg.width,
             multi_view=render_cfg.multi_view,
                 view_mode=render_cfg.view_mode,
+                use_pallas=render_cfg.use_pallas,
         )
         real = jax.lax.stop_gradient(real)
         (d_loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(

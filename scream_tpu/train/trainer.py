@@ -119,6 +119,7 @@ class RegistrationTrainer:
                 rho=self.render_cfg.rho, width=self.render_cfg.width,
                 multi_view=self.render_cfg.multi_view,
                 view_mode=self.render_cfg.view_mode,
+                use_pallas=self.render_cfg.use_pallas,
             )
             dvars = self.disc.init(
                 jax.random.PRNGKey(1), images_to_nhwc(imgs), train=False
@@ -335,6 +336,7 @@ class DEMTrainer:
                 rho=self.render_cfg.rho, width=self.render_cfg.width,
                 multi_view=self.render_cfg.multi_view,
                 view_mode=self.render_cfg.view_mode,
+                use_pallas=self.render_cfg.use_pallas,
             )
             dvars = self.disc.init(jax.random.PRNGKey(1), images_to_nhwc(imgs), train=False)
             self.disc_state = DiscState(
