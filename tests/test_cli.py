@@ -133,3 +133,49 @@ class TestVisualize:
               "--bucketed"])
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["n_pairs"] == 4
+
+
+class TestTrainCLI:
+    def test_train_opengf_synthetic(self, capsys, monkeypatch, tmp_path):
+        """cmd_train drives the DEM trainer end-to-end on synthetic fallback."""
+        monkeypatch.chdir(tmp_path)
+        import dataclasses
+
+        import scream_tpu.cli as cli
+        import scream_tpu.config as config
+
+        def tiny():
+            m, t, d, e = config.opengf_presets()
+            return (dataclasses.replace(m, d_model=32, num_heads=4, self_layers=1,
+                                        cross_layers=1, dtype="float32"),
+                    dataclasses.replace(t, batch_size=4),
+                    dataclasses.replace(d, max_points=128),
+                    e)
+
+        monkeypatch.setitem(cli.TASKS, "opengf", tiny)
+        main(["train", "opengf", "--epochs", "2",
+              "--checkpoint-dir", str(tmp_path / "ck")])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "chamfer" in out["final_val"]
+        assert os.path.isdir(tmp_path / "ck" / "best")
+
+    def test_train_3dmatch_synthetic(self, capsys, monkeypatch, tmp_path):
+        monkeypatch.chdir(tmp_path)
+        import dataclasses
+
+        import scream_tpu.cli as cli
+        import scream_tpu.config as config
+
+        def tiny():
+            m, t, d, e = config.threedmatch_presets()
+            return (dataclasses.replace(m, d_model=32, num_heads=4, self_layers=1,
+                                        cross_layers=1, dtype="float32"),
+                    dataclasses.replace(t, batch_size=4),
+                    dataclasses.replace(d, max_points=128),
+                    e)
+
+        monkeypatch.setitem(cli.TASKS, "3dmatch", tiny)
+        main(["train", "3dmatch", "--epochs", "2",
+              "--checkpoint-dir", str(tmp_path / "ck")])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "point_loss" in out["final_val"]
