@@ -102,3 +102,40 @@ class TestRendererProperties:
             imgs = render_depth_images(src, src, rho=rho, width=16,
                                        multi_view=False, tile=256)
             assert bool(jnp.isfinite(imgs).all())
+
+
+class TestICPProperties:
+    def test_icp_equivariant_under_frame_change(self, rng):
+        """Rotating both clouds by G conjugates the recovered transform:
+        icp(G.src, G.tgt) == G . icp(src, tgt) . G^-1."""
+        from scream_tpu.data.synthetic import make_pair
+        from scream_tpu.geometry.icp import registration_icp
+
+        pair = make_pair(rng, 256, 256, overlap=1.0, max_angle=0.3, max_trans=0.1)
+        src = jnp.asarray(pair["src"])
+        tgt = jnp.asarray(pair["tgt"])
+
+        r1 = registration_icp(src, tgt, 0.5, max_iteration=15)
+
+        G = np.eye(4, dtype=np.float32)
+        G[:3, :3] = np.asarray(so3.exp(jnp.asarray([0.2, -0.3, 0.5], jnp.float32)))
+        G[:3, 3] = [0.4, -0.2, 0.1]
+        Gj = jnp.asarray(G)
+        src_g = src @ Gj[:3, :3].T + Gj[:3, 3]
+        tgt_g = tgt @ Gj[:3, :3].T + Gj[:3, 3]
+        r2 = registration_icp(src_g, tgt_g, 0.5, max_iteration=15)
+
+        want = G @ np.asarray(r1.transformation) @ np.linalg.inv(G)
+        np.testing.assert_allclose(np.asarray(r2.transformation), want, atol=5e-3)
+
+    def test_icp_identity_fixpoint(self, rng):
+        """Identical clouds from the identity init: ICP stays at identity."""
+        from scream_tpu.geometry.icp import registration_icp
+
+        pts = jnp.asarray(rng.standard_normal((128, 3)), jnp.float32)
+        r = registration_icp(pts, pts, 0.5, max_iteration=10)
+        np.testing.assert_allclose(np.asarray(r.transformation), np.eye(4), atol=1e-5)
+        assert float(r.fitness) == 1.0
+        # fp32 floor: the -2ab+a^2+b^2 expansion leaves ~1e-8 squared
+        # residuals on identical points -> rmse ~1e-4
+        assert float(r.inlier_rmse) < 1e-3
