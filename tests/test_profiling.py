@@ -65,3 +65,25 @@ class TestTrainerIntegration:
         assert "pairs_per_sec" in metrics
         dumps = os.listdir(tmp_path / "imgs")
         assert len(dumps) >= 1 and dumps[0].endswith(".png")
+
+
+class TestMetricsLogger:
+    def test_jsonl_records(self, tmp_path):
+        import json
+
+        from scream_tpu.utils.logging import MetricsLogger
+
+        path = tmp_path / "metrics.jsonl"
+        log = MetricsLogger(jsonl_path=str(path), print_every=100)
+        log.log(1, {"loss": 0.5}, prefix="train")
+        log.log(2, {"loss": 0.25, "rre": 3.0}, prefix="val")
+        log.close()
+        lines = [json.loads(l) for l in path.read_text().splitlines()]
+        assert lines[0] == {"step": 1, "prefix": "train", "loss": 0.5}
+        assert lines[1]["rre"] == 3.0
+
+    def test_progressbar(self):
+        from scream_tpu.utils.logging import progressbar
+
+        s = progressbar(5, 10, width=10)
+        assert "5/10" in s and s.count("█") == 5
