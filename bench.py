@@ -17,14 +17,19 @@ adversarial training step) and prints one JSON line each to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
 BASELINE_PAIRS_PER_SEC = 50.0  # north-star target, BASELINE.json
-BATCH = 16
-N_POINTS = 4096
-ITERS = 10
-ICP_ITERS = 30
+# Env overrides exist for the test-suite smoke path only; the driver runs
+# the defaults.
+BATCH = int(os.environ.get("BENCH_BATCH", 16))
+N_POINTS = int(os.environ.get("BENCH_POINTS", 4096))
+ITERS = int(os.environ.get("BENCH_ITERS", 10))
+ICP_ITERS = int(os.environ.get("BENCH_ICP_ITERS", 30))
+# The forced-CPU test backend cannot execute bf16 dots; the smoke test sets f32.
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 
 
 def main():
@@ -37,7 +42,7 @@ def main():
     from scream_tpu.models.point_transformer import PointTransformer
     from scream_tpu.pipeline.register import register_batch
 
-    model = PointTransformer(ModelConfig())
+    model = PointTransformer(ModelConfig(dtype=DTYPE))
 
     # DISTINCT batch per timed iteration: the remote-TPU runtime caches
     # repeated identical dispatches, so re-running one batch reports cache
