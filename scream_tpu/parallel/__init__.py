@@ -1,4 +1,5 @@
-"""Parallel layer: device meshes, data parallelism, sequence parallelism."""
+"""Parallel layer: device meshes and data / sequence / tensor / pipeline /
+expert parallelism (the reference has none of these — SURVEY.md §2.5)."""
 
 from scream_tpu.parallel.mesh import (
     batch_sharding,
@@ -9,6 +10,23 @@ from scream_tpu.parallel.mesh import (
 )
 from scream_tpu.parallel.dp import data_parallel_apply, data_parallel_step
 from scream_tpu.parallel.sp import sequence_parallel_linear_attention
+from scream_tpu.parallel.tp import (
+    shard_params_tensor_parallel,
+    tensor_parallel_apply,
+    tensor_parallel_specs,
+    tensor_parallel_step,
+)
+from scream_tpu.parallel.pp import (
+    make_pipeline_mesh,
+    pipeline_parallel_apply,
+    stack_stage_params,
+)
+from scream_tpu.parallel.ep import (
+    expert_parallel_moe_ffn,
+    init_moe_ffn_params,
+    make_expert_mesh,
+    moe_ffn_reference,
+)
 
 __all__ = [
     "batch_sharding",
@@ -19,4 +37,15 @@ __all__ = [
     "data_parallel_apply",
     "data_parallel_step",
     "sequence_parallel_linear_attention",
+    "shard_params_tensor_parallel",
+    "tensor_parallel_apply",
+    "tensor_parallel_specs",
+    "tensor_parallel_step",
+    "make_pipeline_mesh",
+    "pipeline_parallel_apply",
+    "stack_stage_params",
+    "expert_parallel_moe_ffn",
+    "init_moe_ffn_params",
+    "make_expert_mesh",
+    "moe_ffn_reference",
 ]

@@ -14,6 +14,10 @@ Axes:
     reduces over the sequence with a single psum of the tiny KV matrix
     (see `scream_tpu/parallel/sp.py`), so clouds larger than one chip's HBM
     shard cleanly.
+  * ``model`` — attention heads / FFN hidden features (tensor parallelism,
+    Megatron column/row recipe — see `scream_tpu/parallel/tp.py`).
+  * ``pipe`` — layer stages (pipeline parallelism over microbatches — see
+    `scream_tpu/parallel/pp.py`).
 """
 
 from __future__ import annotations
@@ -30,18 +34,23 @@ def make_mesh(
     n_data: Optional[int] = None,
     n_seq: int = 1,
     devices: Optional[Sequence] = None,
+    n_model: int = 1,
 ) -> Mesh:
-    """A ``(data, seq)`` mesh over the available devices.
+    """A ``(data, seq[, model])`` mesh over the available devices.
 
-    Defaults to all devices on the data axis. ``n_data * n_seq`` must equal
-    the device count used.
+    Defaults to all devices on the data axis. ``n_data * n_seq * n_model``
+    must equal the device count used. The ``model`` axis is only added when
+    ``n_model > 1`` so existing 2-axis callers are unaffected.
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_seq
-    assert n_data * n_seq == len(devices), (
-        f"mesh {n_data}x{n_seq} != {len(devices)} devices"
+        n_data = len(devices) // (n_seq * n_model)
+    assert n_data * n_seq * n_model == len(devices), (
+        f"mesh {n_data}x{n_seq}x{n_model} != {len(devices)} devices"
     )
+    if n_model > 1:
+        arr = np.asarray(devices).reshape(n_data, n_seq, n_model)
+        return Mesh(arr, ("data", "seq", "model"))
     arr = np.asarray(devices).reshape(n_data, n_seq)
     return Mesh(arr, ("data", "seq"))
 
