@@ -243,3 +243,33 @@ def make_valid(R: jnp.ndarray) -> jnp.ndarray:
         [jnp.ones_like(det)[..., None], jnp.ones_like(det)[..., None], det[..., None]], axis=-1
     )
     return (U * fix[..., None, :]) @ Vh
+
+
+def quat_inv(quat: jnp.ndarray) -> jnp.ndarray:
+    """Unit-quaternion inverse (= conjugate), wxyz convention
+    (`/root/reference/lie/numpy/so3_common.py:144-149`)."""
+    return jnp.concatenate([quat[..., 0:1], -quat[..., 1:]], axis=-1)
+
+
+def quat_mul(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product ``q1 * q2`` (non-commutative), wxyz
+    (`/root/reference/lie/numpy/so3_common.py:152-172`)."""
+    w1, x1, y1, z1 = (q1[..., i] for i in range(4))
+    w2, x2, y2, z2 = (q2[..., i] for i in range(4))
+    return jnp.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ],
+        axis=-1,
+    )
+
+
+def quat_rot(quat: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Rotate points ``(..., N, 3)`` by unit quaternion(s) ``(..., 4)`` via
+    ``q * (0, p) * q^-1`` (`/root/reference/lie/numpy/so3_common.py:175-182`)."""
+    v = jnp.concatenate([jnp.zeros_like(pts[..., 0:1]), pts], axis=-1)
+    rotated = quat_mul(quat_mul(quat[..., None, :], v), quat_inv(quat[..., None, :]))
+    return rotated[..., 1:]

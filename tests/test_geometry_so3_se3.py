@@ -245,3 +245,42 @@ class TestBoxplus:
         # (translation first), so t == delta[:, :3]
         np.testing.assert_allclose(np.asarray(se3.pexp(d))[:, :3, 3],
                                    np.asarray(d)[:, :3], atol=1e-6)
+
+
+class TestQuaternionAlgebra:
+    """quat_inv / quat_mul / quat_rot vs scipy oracles
+    (reference lie/numpy/so3_common.py:144-182; wxyz convention)."""
+
+    @staticmethod
+    def _wxyz(r):
+        q = r.as_quat()  # scipy: xyzw
+        return np.concatenate([q[..., 3:4], q[..., :3]], axis=-1)
+
+    def test_quat_mul_matches_matrix_product(self, rng):
+        from scipy.spatial.transform import Rotation
+
+        r1 = Rotation.random(8, random_state=np.random.RandomState(1))
+        r2 = Rotation.random(8, random_state=np.random.RandomState(2))
+        got = so3.quat_mul(jnp.asarray(self._wxyz(r1)), jnp.asarray(self._wxyz(r2)))
+        want = self._wxyz(r1 * r2)
+        # Quaternion double cover: q and -q are the same rotation.
+        sign = np.sign(np.sum(np.asarray(got) * want, axis=-1, keepdims=True))
+        assert np.allclose(np.asarray(got) * sign, want, atol=1e-6)
+
+    def test_quat_rot_matches_matrix(self, rng):
+        from scipy.spatial.transform import Rotation
+
+        r = Rotation.random(5, random_state=np.random.RandomState(3))
+        pts = rng.normal(size=(5, 17, 3))
+        got = so3.quat_rot(jnp.asarray(self._wxyz(r)), jnp.asarray(pts))
+        want = np.einsum("bij,bnj->bni", r.as_matrix(), pts)
+        assert np.allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_quat_inv_is_inverse(self, rng):
+        from scipy.spatial.transform import Rotation
+
+        r = Rotation.random(6, random_state=np.random.RandomState(4))
+        q = jnp.asarray(self._wxyz(r))
+        prod = so3.quat_mul(q, so3.quat_inv(q))
+        ident = np.zeros((6, 4)); ident[:, 0] = 1.0
+        assert np.allclose(np.asarray(prod), ident, atol=1e-6)

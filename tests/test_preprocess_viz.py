@@ -146,3 +146,40 @@ class TestViz:
         viz.plot_prediction_error(pred, gt, tgt=rng.standard_normal((30, 3)),
                                   path=str(tmp_path / "err.png"))
         assert (tmp_path / "err.png").stat().st_size > 0
+
+
+class TestArtifactQA:
+    """Headless counterparts of the reference's preprocessing QA windows
+    (process_kitti.py:80-96, process_open_gf.py:266-296)."""
+
+    def test_check_saved_pairs(self, tmp_path):
+        from scream_tpu.data.preprocess import check_saved_pairs
+
+        pairs = _raw_pairs(2, overlap=1.0)
+        n = save_train_split(pairs, str(tmp_path / "pairs"), voxel_size=0.05)
+        out = tmp_path / "qa"
+        stats = check_saved_pairs(str(tmp_path / "pairs"), out_dir=str(out),
+                                  verbose=False)
+        assert len(stats) == n
+        for rec in stats:
+            assert (rec["extent"] > 0).all() and rec["n_src"] > 0
+        assert (out / "pair0_raw.png").exists()
+        assert (out / "pair0_registered.png").exists()
+
+    def test_check_opengf_test(self, tmp_path):
+        from scream_tpu.data.preprocess import check_opengf_test
+
+        rng = np.random.default_rng(0)
+        scene = rng.uniform(0, 50, size=(4000, 3)).astype(np.float32)
+        ground = scene.copy()
+        ground[:, 2] = 0.0
+        labels = np.ones(len(scene), np.int64) * 2  # all "ground" class
+        patches = tile_opengf_scene(np.concatenate([scene], axis=0), labels,
+                                    tile=25.0, stride=25.0, voxel=2.0)
+        n = save_opengf_split(patches, str(tmp_path / "test"), save_centers=True)
+        assert n > 0
+        png = tmp_path / "scene.png"
+        stats = check_opengf_test(str(tmp_path / "test"), out_path=str(png),
+                                  verbose=False)
+        assert stats["n_patches"] == n and stats["n_points"] > 0
+        assert png.exists()
