@@ -149,19 +149,24 @@ def main():
     )
 
 
-def _timed(fn, make_input, iters=3):
-    """Median sync wall time; distinct input + host fetch per call (the
-    remote-TPU runtime caches identical dispatches)."""
+def _timed(fn, make_input, iters=6):
+    """Pipelined per-call wall time: one dispatch in flight so the host fetch
+    of result k overlaps the device compute of k+1 (same methodology as the
+    main bench — sync timing would charge every call the remote tunnel's RPC
+    round trip). Distinct input + host fetch per call (the remote-TPU runtime
+    caches identical dispatches)."""
     import numpy as np
 
-    np.asarray(fn(make_input(0)))
-    ts = []
-    for k in range(iters):
-        x = make_input(k + 1)
-        t0 = time.time()
-        np.asarray(fn(x))
-        ts.append(time.time() - t0)
-    return float(np.median(ts))
+    inputs = [make_input(k) for k in range(iters + 1)]
+    np.asarray(fn(inputs[0]))  # compile + warm
+    t0 = time.time()
+    pending = fn(inputs[1])
+    for x in inputs[2:]:
+        nxt = fn(x)
+        np.asarray(pending)
+        pending = nxt
+    np.asarray(pending)
+    return (time.time() - t0) / iters
 
 
 def suite():
