@@ -41,12 +41,37 @@ EVAL_SPLITS = {
 }
 
 
-def _registration_loaders(task, data_cfg, train_cfg, root, synthetic_len=64):
-    from scream_tpu.data import PairDataset, PairLoader, SyntheticPairDataset
+def _registration_loaders(task, data_cfg, train_cfg, root, synthetic_len=64,
+                          multi_scale=False):
+    from scream_tpu.data import (
+        BucketedPairLoader,
+        ConcatDataset,
+        PairDataset,
+        PairLoader,
+        SyntheticPairDataset,
+    )
 
     split_train = "3DMatch_train" if task == "3dmatch" else "KITTI_train"
     split_val = "3DMatch_val" if task == "3dmatch" else "KITTI_val"
     cap = data_cfg.max_points
+    buckets = tuple(b for b in (256, 512, 1024, 2048, 4096, 8192, 16384)
+                    if b <= cap) or (cap,)
+
+    def synth_multi(augment, seed0):
+        # Per-bucket synthetic pairs sized just under each capacity; training
+        # mixes two overlap tiers (the recipe behind the shipped multi-scale
+        # checkpoints, docs/TRAINING_DEMO.md).
+        parts = []
+        overlaps = (0.7, 0.85) if augment else (0.7,)
+        length = synthetic_len if augment else max(synthetic_len // 4, 8)
+        for k, b in enumerate(buckets):
+            for j, ov in enumerate(overlaps):
+                parts.append(SyntheticPairDataset(
+                    length=length, n_src=b * 7 // 8, n_tgt=b * 15 // 16,
+                    overlap=ov, normalize=data_cfg.normalize, augment=augment,
+                    seed=seed0 + 10 * k + j,
+                ))
+        return ConcatDataset(parts)
 
     def make(split, augment):
         path = os.path.join(root, split)
@@ -57,11 +82,20 @@ def _registration_loaders(task, data_cfg, train_cfg, root, synthetic_len=64):
                 jitter_std=data_cfg.augment_jitter_std,
                 max_points=cap,
             )
+        elif multi_scale:
+            print(f"[cli] {path} not found; multi-scale synthetic pairs",
+                  file=sys.stderr)
+            ds = synth_multi(augment, seed0=10 if augment else 900)
         else:
             print(f"[cli] {path} not found; using synthetic pairs", file=sys.stderr)
             ds = SyntheticPairDataset(
                 length=synthetic_len, n_src=cap // 2, n_tgt=cap // 2,
                 normalize=data_cfg.normalize, augment=augment,
+            )
+        if multi_scale:
+            return BucketedPairLoader(
+                ds, batch_size=train_cfg.batch_size, buckets=buckets,
+                shuffle=augment, drop_last=augment,
             )
         return PairLoader(
             ds, batch_size=train_cfg.batch_size, src_capacity=cap,
@@ -132,7 +166,8 @@ def cmd_train(args):
         from scream_tpu.train import RegistrationTrainer
 
         train_loader, val_loader = _registration_loaders(
-            args.task, data_cfg, train_cfg, args.root
+            args.task, data_cfg, train_cfg, args.root,
+            multi_scale=getattr(args, "multi_scale", False),
         )
         trainer = RegistrationTrainer(
             train_loader, val_loader,
@@ -388,6 +423,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--batch-size", type=int, default=None)
     t.add_argument("--gan", action="store_true")
     t.add_argument("--checkpoint-dir", default="checkpoints")
+    t.add_argument("--multi-scale", action="store_true",
+                   help="size-bucketed loader (one compile per bucket); the "
+                        "recipe behind the shipped multi-scale checkpoints")
     t.add_argument("--max-points", type=int, default=None,
                    help="padding bucket; oversize clouds are subsampled")
     t.add_argument("--d-model", type=int, default=None)

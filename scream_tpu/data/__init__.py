@@ -5,6 +5,7 @@ from scream_tpu.data.batching import pad_cloud, bucket_for, collate_pairs, colla
 from scream_tpu.data.datasets import (
     CANONICAL_SIZES,
     SCENE_NAME_TO_IDX,
+    ConcatDataset,
     OpenGFDataset,
     PairDataset,
     SyntheticPairDataset,
@@ -14,6 +15,7 @@ from scream_tpu.data.loader import (
     DEMLoader,
     PairLoader,
     prefetch_to_device,
+    HostShardDataset,
 )
 
 __all__ = [
@@ -26,6 +28,7 @@ __all__ = [
     "collate_dem",
     "CANONICAL_SIZES",
     "SCENE_NAME_TO_IDX",
+    "ConcatDataset",
     "OpenGFDataset",
     "PairDataset",
     "SyntheticPairDataset",
@@ -33,4 +36,5 @@ __all__ = [
     "DEMLoader",
     "PairLoader",
     "prefetch_to_device",
+    "HostShardDataset",
 ]

@@ -242,3 +242,27 @@ class SyntheticPairDataset:
             out["covariance"] = np.eye(6, dtype=np.float32) * float(self.n_src)
             out["scene"] = np.int32(item % 8)
         return out
+
+
+class ConcatDataset:
+    """Concatenation of map-style datasets (shared item schema)."""
+
+    def __init__(self, parts):
+        self.parts = list(parts)
+        self._offsets = []
+        off = 0
+        for p in self.parts:
+            self._offsets.append(off)
+            off += len(p)
+        self._total = off
+
+    def __len__(self):
+        return self._total
+
+    def __getitem__(self, i):
+        if i < 0 or i >= self._total:
+            raise IndexError(i)
+        for p, off in zip(self.parts, self._offsets):
+            if i < off + len(p):
+                return p[i - off]
+        raise IndexError(i)

@@ -243,3 +243,33 @@ class DEMLoader(PairLoader):
         return collate_dem(
             items, self.dsm_capacity, self.dem_capacity, self.coarse_capacity
         )
+
+
+class HostShardDataset:
+    """Strided per-host shard of a dataset for multi-host (DCN) sweeps.
+
+    The intra-pod scaling story is the device mesh (`scream_tpu/parallel`);
+    across hosts the only coordination the workloads need is disjoint data
+    (SURVEY.md §2.5): each process takes items ``shard, shard+count, ...``.
+    Defaults read ``jax.process_index()/process_count()`` so the same script
+    runs unchanged on one host or many.
+    """
+
+    def __init__(self, dataset, shard: int = None, count: int = None):
+        if shard is None or count is None:
+            import jax
+
+            shard = jax.process_index() if shard is None else shard
+            count = jax.process_count() if count is None else count
+        assert 0 <= shard < count, (shard, count)
+        self.dataset = dataset
+        self.shard, self.count = shard, count
+
+    def __len__(self):
+        n = len(self.dataset)
+        return (n - self.shard + self.count - 1) // self.count
+
+    def __getitem__(self, i):
+        if i < 0 or i >= len(self):
+            raise IndexError(i)
+        return self.dataset[self.shard + i * self.count]

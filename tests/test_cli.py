@@ -179,3 +179,29 @@ class TestTrainCLI:
               "--checkpoint-dir", str(tmp_path / "ck")])
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert "point_loss" in out["final_val"]
+
+
+def test_train_multi_scale_smoke(tmp_path, capsys, monkeypatch):
+    """--multi-scale trains through the bucketed loader on synthetic pairs."""
+    import dataclasses
+
+    import scream_tpu.cli as cli
+    import scream_tpu.config as config
+
+    def tiny():
+        m, t, d, e = config.threedmatch_presets()
+        # The forced-CPU test backend cannot execute bf16 dots.
+        return (dataclasses.replace(m, d_model=32, num_heads=4, self_layers=1,
+                                    cross_layers=1, dtype="float32"),
+                dataclasses.replace(t, batch_size=4),
+                dataclasses.replace(d, max_points=128),
+                e)
+
+    monkeypatch.setitem(cli.TASKS, "3dmatch", tiny)
+    cli.main([
+        "train", "3dmatch", "--root", str(tmp_path / "nodata"),
+        "--epochs", "2", "--multi-scale",
+        "--checkpoint-dir", str(tmp_path / "ck"),
+    ])
+    out = capsys.readouterr().out
+    assert "final_val" in out

@@ -243,3 +243,33 @@ class TestBucketedLoader:
                                     num_workers=0)
         b = next(iter(loader))
         assert b["src"].shape[1] == 128  # capped cloud lands in the small bucket
+
+
+class TestHostShardDataset:
+    def test_disjoint_cover(self):
+        from scream_tpu.data import HostShardDataset
+
+        base = list(range(23))
+        shards = [HostShardDataset(base, shard=k, count=4) for k in range(4)]
+        seen = []
+        for sh in shards:
+            items = [sh[i] for i in range(len(sh))]
+            assert len(items) == len(sh)
+            seen.extend(items)
+        assert sorted(seen) == base  # disjoint, complete
+
+    def test_defaults_single_process(self):
+        from scream_tpu.data import HostShardDataset
+
+        sh = HostShardDataset(list(range(5)))  # process 0 of 1
+        assert [sh[i] for i in range(len(sh))] == [0, 1, 2, 3, 4]
+
+    def test_out_of_range(self):
+        import pytest
+
+        from scream_tpu.data import HostShardDataset
+
+        sh = HostShardDataset(list(range(5)), shard=1, count=2)
+        assert len(sh) == 2
+        with pytest.raises(IndexError):
+            sh[2]
