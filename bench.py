@@ -65,9 +65,10 @@ def main():
         jnp.swapaxes(b0["trans"], -1, -2),
     )["params"]
     # Benchmark with the shipped trained checkpoint when its architecture
-    # matches: with random weights ICP never converges and always burns its
-    # full iteration budget, which understates real-deployment throughput
-    # (the while_loop exits early once poses stop improving).
+    # matches, so the reported median_re_deg is a real registration quality
+    # (random weights -> ~70 deg garbage poses). Throughput is unchanged
+    # either way: batched ICP runs to the slowest lane, so convergence-based
+    # early exit does not fire at batch 16 (docs/DESIGN.md).
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "params", "point-generator")
     if os.path.isdir(ckpt) and os.environ.get("BENCH_RANDOM_PARAMS") != "1":

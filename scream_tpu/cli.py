@@ -41,6 +41,16 @@ EVAL_SPLITS = {
 }
 
 
+def _buckets_for(cap: int, smallest: int = 256):
+    """Canonical padding buckets up to ``cap``; ``cap`` itself is appended
+    when it falls between canonical sizes so no cloud exceeds every bucket."""
+    buckets = tuple(b for b in (256, 512, 1024, 2048, 4096, 8192, 16384)
+                    if smallest <= b <= cap)
+    if not buckets or buckets[-1] < cap:
+        buckets = buckets + (cap,)
+    return buckets
+
+
 def _registration_loaders(task, data_cfg, train_cfg, root, synthetic_len=64,
                           multi_scale=False):
     from scream_tpu.data import (
@@ -54,8 +64,7 @@ def _registration_loaders(task, data_cfg, train_cfg, root, synthetic_len=64,
     split_train = "3DMatch_train" if task == "3dmatch" else "KITTI_train"
     split_val = "3DMatch_val" if task == "3dmatch" else "KITTI_val"
     cap = data_cfg.max_points
-    buckets = tuple(b for b in (256, 512, 1024, 2048, 4096, 8192, 16384)
-                    if b <= cap) or (cap,)
+    buckets = _buckets_for(cap)
 
     def synth_multi(augment, seed0):
         # Per-bucket synthetic pairs sized just under each capacity; training
@@ -86,6 +95,13 @@ def _registration_loaders(task, data_cfg, train_cfg, root, synthetic_len=64,
             print(f"[cli] {path} not found; multi-scale synthetic pairs",
                   file=sys.stderr)
             ds = synth_multi(augment, seed0=10 if augment else 900)
+            # Sizes are statically known per part — skip the default size
+            # probe, which would materialize every synthetic pair up front.
+            return BucketedPairLoader(
+                ds, batch_size=train_cfg.batch_size, buckets=buckets,
+                shuffle=augment, drop_last=augment,
+                size_fn=lambda d, i: _concat_synth_size(d, i),
+            )
         else:
             print(f"[cli] {path} not found; using synthetic pairs", file=sys.stderr)
             ds = SyntheticPairDataset(
@@ -103,6 +119,15 @@ def _registration_loaders(task, data_cfg, train_cfg, root, synthetic_len=64,
         )
 
     return make(split_train, True), make(split_val, False)
+
+
+def _concat_synth_size(concat_ds, i):
+    """Cloud sizes for a ConcatDataset of SyntheticPairDatasets, no
+    materialization (each part's n_src/n_tgt are fixed)."""
+    for p, off in zip(concat_ds.parts, concat_ds._offsets):
+        if i < off + len(p):
+            return p.n_src, p.n_tgt
+    raise IndexError(i)
 
 
 def _apply_model_overrides(model_cfg, args):
@@ -282,7 +307,7 @@ def cmd_evaluate(args):
         if args.bucketed:
             from scream_tpu.data import BucketedPairLoader
 
-            buckets = tuple(b for b in (1024, 2048, 4096, 8192, 16384) if b <= cap) or (cap,)
+            buckets = _buckets_for(cap, smallest=1024)
             loader = BucketedPairLoader(ds, batch_size=args.batch_size,
                                         buckets=buckets)
         else:

@@ -322,6 +322,8 @@ def check_opengf_test(
         n_items = 0
         while os.path.exists(os.path.join(artifact_dir, f"{n_items + 1}.npy")):
             n_items += 1
+    if n_items == 0:
+        return {"n_patches": 0.0, "n_points": 0.0, "max_height": 0.0}
     dsm_all, dem_all, high_all = [], [], []
     for i in range(1, n_items + 1):
         block = np.load(os.path.join(artifact_dir, f"{i}.npy"))

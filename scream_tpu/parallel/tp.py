@@ -115,17 +115,23 @@ def tensor_parallel_step(
     """
     batch_sh = NamedSharding(mesh, P(data_axis))
     rep = NamedSharding(mesh, P())
+    # Param-path -> (spec, shape) table for matching optimizer-moment leaves
+    # (optax moment trees embed the param tree: their leaf paths end with the
+    # param's path and shapes match). Derived once per param treedef — the
+    # device_puts themselves are no-ops after the first step (the outputs
+    # already carry the shardings), so only the table build is hoisted.
+    cache = {}
 
     def wrapped(state, batch, *args):
         params = shard_params_tensor_parallel(state.params, mesh, model_axis)
-        # Param-path -> (spec, shape), for matching optimizer-moment leaves
-        # (optax moment trees embed the param tree: their leaf paths end with
-        # the param's path and shapes match).
-        leaves = jax.tree_util.tree_flatten_with_path(state.params)[0]
-        by_path = {
-            _path_names(p): (_spec_for(_path_names(p), model_axis), v.shape)
-            for p, v in leaves
-        }
+        treedef = jax.tree_util.tree_structure(state.params)
+        by_path = cache.get(treedef)
+        if by_path is None:
+            leaves = jax.tree_util.tree_flatten_with_path(state.params)[0]
+            by_path = cache[treedef] = {
+                _path_names(p): (_spec_for(_path_names(p), model_axis), v.shape)
+                for p, v in leaves
+            }
 
         def put_opt_leaf(path, leaf):
             if not hasattr(leaf, "shape"):

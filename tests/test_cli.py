@@ -205,3 +205,31 @@ def test_train_multi_scale_smoke(tmp_path, capsys, monkeypatch):
     ])
     out = capsys.readouterr().out
     assert "final_val" in out
+
+
+def test_buckets_for_cap_between_sizes():
+    """A cap between canonical bucket sizes must itself become the largest
+    bucket, or clouds subsampled to cap would exceed every bucket."""
+    from scream_tpu.cli import _buckets_for
+
+    assert _buckets_for(6000)[-1] == 6000
+    assert _buckets_for(4096)[-1] == 4096  # exact match: no duplicate
+    assert _buckets_for(4096).count(4096) == 1
+    assert _buckets_for(128) == (128,)
+    assert _buckets_for(6000, smallest=1024) == (1024, 2048, 4096, 6000)
+
+
+def test_concat_synth_size_no_materialization():
+    from scream_tpu.cli import _concat_synth_size
+    from scream_tpu.data import ConcatDataset, SyntheticPairDataset
+
+    class Exploding(SyntheticPairDataset):
+        def __getitem__(self, i):
+            raise AssertionError("size probe materialized an item")
+
+    ds = ConcatDataset([
+        Exploding(length=4, n_src=100, n_tgt=110),
+        Exploding(length=3, n_src=200, n_tgt=210),
+    ])
+    assert _concat_synth_size(ds, 0) == (100, 110)
+    assert _concat_synth_size(ds, 5) == (200, 210)

@@ -183,3 +183,10 @@ class TestArtifactQA:
                                   verbose=False)
         assert stats["n_patches"] == n and stats["n_points"] > 0
         assert png.exists()
+
+
+def test_check_opengf_test_empty_dir(tmp_path):
+    from scream_tpu.data.preprocess import check_opengf_test
+
+    stats = check_opengf_test(str(tmp_path), verbose=False)
+    assert stats == {"n_patches": 0.0, "n_points": 0.0, "max_height": 0.0}
