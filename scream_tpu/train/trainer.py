@@ -131,19 +131,30 @@ class RegistrationTrainer:
         return self.state
 
     def save_state(self, directory: str) -> None:
-        """Checkpoint the FULL train state (params + optimizer + step) for
-        resume — the reference can only restart from scratch
-        (`/root/reference/train_3d_match.py:226-230` saves weights only)."""
+        """Checkpoint the FULL train state (params + optimizer + step; plus
+        the discriminator state under GAN training) for resume — the
+        reference can only restart from scratch
+        (`/root/reference/train_3d_match.py:226-230` saves weights only, and
+        its discriminator restore is a commented-out line,
+        `train_kitti.py:34`)."""
         from scream_tpu.utils.checkpoint import save_params
 
-        save_params(directory, {"gen": self.state._asdict()})
+        tree = {"gen": self.state._asdict()}
+        if self.use_gan:
+            tree["disc"] = self.disc_state._asdict()
+        save_params(directory, tree)
 
     def restore_state(self, directory: str) -> None:
-        from scream_tpu.train.steps import TrainState
+        from scream_tpu.train.steps import DiscState, TrainState
         from scream_tpu.utils.checkpoint import load_params
 
-        restored = load_params(directory, {"gen": self.state._asdict()})
+        template = {"gen": self.state._asdict()}
+        if self.use_gan:
+            template["disc"] = self.disc_state._asdict()
+        restored = load_params(directory, template)
         self.state = TrainState(**restored["gen"])
+        if self.use_gan:
+            self.disc_state = DiscState(**restored["disc"])
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         from scream_tpu.data.loader import prefetch_to_device

@@ -172,3 +172,30 @@ class TestAdaptiveWeight:
         tiny = {"w": jnp.asarray([1e-9])}
         w2 = calculate_adaptive_weight(nll, tiny)
         assert float(w2) <= 1e4
+
+
+def test_disc_logit_fn_ignores_running_stats():
+    """The generator's adversarial signal must use batch statistics: running
+    averages in PatchGAN discriminators are unusable (see make_disc_logit_fn).
+    Poisoned running stats must not change the logits."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scream_tpu.models.gan import PatchDiscriminator, images_to_nhwc
+    from scream_tpu.train.steps import make_disc_logit_fn
+
+    disc = PatchDiscriminator(input_nc=2)
+    imgs = jax.random.uniform(jax.random.PRNGKey(0), (2, 1, 2, 32, 32)) * 2 - 1
+    variables = disc.init(jax.random.PRNGKey(1), images_to_nhwc(imgs), train=False)
+    fn = make_disc_logit_fn(disc)
+
+    clean = fn(variables, imgs)
+    poisoned = {
+        "params": variables["params"],
+        "batch_stats": jax.tree_util.tree_map(
+            lambda x: x + 1e6, variables["batch_stats"]
+        ),
+    }
+    np.testing.assert_allclose(np.asarray(fn(poisoned, imgs)),
+                               np.asarray(clean), atol=1e-6)

@@ -88,6 +88,33 @@ class TestRegistrationTrainer:
         assert not np.allclose(np.asarray(d0), np.asarray(d1))
 
 
+    def test_gan_state_roundtrip(self, tmp_path):
+        """save_state/restore_state covers the discriminator under GAN
+        training (the reference's disc restore is a commented-out line)."""
+        train_loader, val_loader = _loaders(n=4, batch=2, n_pts=48)
+        mk = lambda: RegistrationTrainer(
+            train_loader, val_loader, model_cfg=SMALL_MODEL,
+            train_cfg=TrainConfig(epochs=2, use_gan=True),
+            render_cfg=RenderConfig(rho=6.0, width=32, multi_view=False),
+        )
+        tr = mk()
+        tr.init()
+        tr.train_epoch(1)
+        d_before = [np.asarray(x).copy() for x in
+                    jax.tree_util.tree_leaves(tr.disc_state.variables["params"])]
+        tr.save_state(str(tmp_path / "full"))
+        tr.train_epoch(2)
+        d_moved = jax.tree_util.tree_leaves(tr.disc_state.variables["params"])
+        assert not all(np.allclose(a, np.asarray(b))
+                       for a, b in zip(d_before, d_moved))
+        tr.restore_state(str(tmp_path / "full"))
+        for a, b in zip(d_before,
+                        jax.tree_util.tree_leaves(tr.disc_state.variables["params"])):
+            np.testing.assert_array_equal(a, np.asarray(b))
+        m = tr.train_epoch(2)
+        assert np.isfinite(m["d_loss"])
+
+
 class TestDEMTrainer:
     def test_loss_decreases(self):
         from scream_tpu.data import DEMLoader
