@@ -356,6 +356,11 @@ class DEMTrainer:
             )
         return self.state
 
+    # Full-state resume, same contract as RegistrationTrainer (the reference
+    # has no resume at all, SURVEY.md §5).
+    save_state = RegistrationTrainer.save_state
+    restore_state = RegistrationTrainer.restore_state
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         from scream_tpu.data.loader import prefetch_to_device
 

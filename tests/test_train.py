@@ -186,3 +186,39 @@ class TestResume:
         # optimizer state restored too: training continues without error
         m = tr.train_epoch(2)
         assert np.isfinite(m["point_loss"])
+
+
+class TestDEMStateResume:
+
+    def test_dem_state_roundtrip(self, tmp_path):
+        """DEMTrainer shares the full-state resume contract."""
+        from scream_tpu.data import DEMLoader
+        from scream_tpu.data.synthetic import make_dem_patch
+        from scream_tpu.train.trainer import DEMTrainer
+
+        class _P:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                return make_dem_patch(np.random.default_rng(i), 48, 48)
+
+        mk = lambda: DEMLoader(_P(), batch_size=2, dsm_capacity=64,
+                               dem_capacity=64, coarse_capacity=16)
+        tr = DEMTrainer(mk(), mk(),
+                        model_cfg=ModelConfig(d_model=32, num_heads=4,
+                                              self_layers=1, cross_layers=1,
+                                              dtype="float32",
+                                              separate_stems=True),
+                        train_cfg=TrainConfig(epochs=2))
+        tr.init()
+        tr.train_epoch(1)
+        step = int(tr.state.step)
+        leaves = [np.asarray(x).copy()
+                  for x in jax.tree_util.tree_leaves(tr.state.params)]
+        tr.save_state(str(tmp_path / "dem"))
+        tr.train_epoch(2)
+        tr.restore_state(str(tmp_path / "dem"))
+        assert int(tr.state.step) == step
+        for a, b in zip(leaves, jax.tree_util.tree_leaves(tr.state.params)):
+            np.testing.assert_array_equal(a, np.asarray(b))
