@@ -8,7 +8,11 @@ from scream_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
-from scream_tpu.parallel.dp import data_parallel_apply, data_parallel_step
+from scream_tpu.parallel.dp import (
+    data_parallel_apply,
+    data_parallel_step,
+    data_seq_parallel_step,
+)
 from scream_tpu.parallel.sp import sequence_parallel_linear_attention
 from scream_tpu.parallel.tp import (
     shard_params_tensor_parallel,
@@ -36,6 +40,7 @@ __all__ = [
     "shard_batch",
     "data_parallel_apply",
     "data_parallel_step",
+    "data_seq_parallel_step",
     "sequence_parallel_linear_attention",
     "shard_params_tensor_parallel",
     "tensor_parallel_apply",

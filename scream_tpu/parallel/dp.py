@@ -46,3 +46,40 @@ def data_parallel_apply(apply_fn: Callable, mesh: Mesh) -> Callable:
         return apply_fn(params, *arrays)
 
     return wrapped
+
+
+def data_seq_parallel_step(step_fn: Callable, mesh: Mesh,
+                           seq_keys=("src", "tgt", "src_mask", "tgt_mask")) -> Callable:
+    """2-D (data x seq) constraint for a jitted ``step(state, batch, ...)``.
+
+    Pairs shard over ``data`` and the *points within each cloud* shard over
+    ``seq`` — the training-time use of the sequence-parallel story
+    (`scream_tpu/parallel/sp.py`): GSPMD propagates the point sharding
+    through the linear-attention einsums, whose only cross-shard term is the
+    tiny KV/K-sum reduction, and through the masked loss. Params and
+    optimizer state stay replicated; the data-axis gradient all-reduce and
+    the seq-axis attention reductions are both XLA-inserted.
+
+    ``seq_keys`` names the batch entries whose axis 1 is the point dimension
+    (coordinates and masks); everything else shards on batch only.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+
+    def seq_sharding(ndim):
+        return NamedSharding(mesh, P("data", "seq", *([None] * (ndim - 2))))
+
+    def wrapped(state, batch: Dict, *args):
+        state = jax.device_put(state, rep)
+        out = {}
+        for k, v in batch.items():
+            if k in seq_keys and v.ndim >= 2:
+                out[k] = jax.device_put(v, seq_sharding(v.ndim))
+            else:
+                out[k] = jax.device_put(v, data_sh)
+        args = tuple(jax.device_put(a, rep) if a is not None else None for a in args)
+        return step_fn(state, out, *args)
+
+    return wrapped

@@ -133,3 +133,38 @@ class TestSequenceParallelModel:
             jax.device_put(sm, mask_sh),
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+class TestDataSeqParallelStep:
+    def test_2d_matches_single_device(self):
+        """One (data x seq) 2-D train step == the same step on one device."""
+        from scream_tpu.parallel import data_seq_parallel_step
+
+        cfg = ModelConfig(d_model=32, num_heads=4, self_layers=1, cross_layers=1,
+                          dtype="float32")
+        model = PointTransformer(cfg)
+        ds = SyntheticPairDataset(length=4, n_src=64, n_tgt=64, seed=5)
+        loader = PairLoader(ds, batch_size=4, src_capacity=64, tgt_capacity=64,
+                            num_workers=0)
+        batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+
+        opt = optim.generator_optimizer(TrainConfig(), steps_per_epoch=10)
+        variables = model.init(
+            jax.random.PRNGKey(0), batch["src"], batch["tgt"],
+            batch["src_mask"], batch["tgt_mask"],
+            jnp.swapaxes(batch["trans"], -1, -2),
+        )
+        step = make_registration_train_step(model, opt)
+        copy = lambda tree: jax.tree_util.tree_map(jnp.array, tree)
+
+        s1, m1, _ = step(init_train_state(copy(variables["params"]), opt), batch)
+
+        mesh = make_mesh(n_data=4, n_seq=2)
+        sp_step = data_seq_parallel_step(step, mesh)
+        s2, m2, _ = sp_step(init_train_state(copy(variables["params"]), opt), batch)
+
+        assert float(m1["point_loss"]) == pytest.approx(
+            float(m2["point_loss"]), rel=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
