@@ -326,6 +326,8 @@ def cmd_evaluate(args):
             out = protocols.evaluate_kitti(
                 apply_fn, params, loader,
                 dis_thresh=eval_cfg.dis_thresh, icp_thresh=eval_cfg.icp_thresh,
+                icp_max_iter=eval_cfg.icp_max_iter,
+                center_mode=eval_cfg.center_mode,
             )
     print(json.dumps({k: v for k, v in out.items()}, default=float))
 

@@ -108,11 +108,15 @@ class EvalConfig:
     dis_thresh: float = 0.1  # NN threshold (0.2 for zero-match)
     corr: str = "tgt"  # "src_pred" for zero-match
     icp_thresh: float = 0.1  # 1.0 for KITTI
-    icp_max_iter: int = 30
+    icp_max_iter: int = 30  # 1000 for KITTI (evaluate_kitti.py:69)
     rmse_thresh: float = 0.2  # registration recall criterion
     re_stat: str = "median"  # "mean" for zero-match
     success_re_deg: float = 5.0  # KITTI success criteria
     success_te: float = 2.0
+    # The GT-derived src_center hint fed to the model: 3DMatch passes t
+    # (evaluate_3d_match.py:84, train_3d_match.py:171) but KITTI passes
+    # -R^T t (evaluate_kitti.py:39, train_kitti.py:156).
+    center_mode: str = "trans"  # "neg_rt" for KITTI
 
 
 def kitti_gan_render_config() -> RenderConfig:
@@ -137,7 +141,8 @@ def kitti_presets():
                     checkpoint_metric="success_rate"),
         DataConfig(max_points=8192, normalize="unit_cube", augment_jitter_std=0.0,
                    perturb_both_sides=False),
-        EvalConfig(dis_thresh=1.5, icp_thresh=1.0, icp_max_iter=1000),
+        EvalConfig(dis_thresh=1.5, icp_thresh=1.0, icp_max_iter=1000,
+                   center_mode="neg_rt"),
     )
 
 

@@ -32,7 +32,18 @@ from scream_tpu.geometry.kabsch import kabsch
 def _nn(src_t, tgt, tgt_mask):
     """Single-pass fused NN returning winner coordinates — the Pallas kernel
     on TPU (one VMEM-resident pass, no HBM distance matrix, no index gather),
-    the XLA path elsewhere."""
+    the XLA path elsewhere. Called on unbatched clouds so that a caller's
+    vmap (ICP over a pair batch) maps the ``pallas_call`` exactly once —
+    nested vmaps over Pallas kernels produce batch-dim layouts the TPU
+    lowering rejects."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from scream_tpu.ops.nn_pallas import nearest_neighbor_pallas
+
+        d, _, xyz = nearest_neighbor_pallas(src_t, tgt, tgt_mask)
+        return d, xyz
+
     from scream_tpu.ops.nn_pallas import nearest_neighbor_full
 
     d, _, xyz = nearest_neighbor_full(src_t[None], tgt[None], tgt_mask[None])

@@ -128,27 +128,39 @@ def in_forward_transform(
 def _icp_refine_batch(
     src_dn, tgt_dn, src_mask, tgt_mask, init_T, gt_T, icp_thresh, icp_max_iter
 ):
-    """vmapped ICP + keep-iff-both-improve acceptance."""
+    """vmapped ICP + keep-iff-both-improve acceptance
+    (the single implementation lives in `geometry.icp.icp_refine_if_better`)."""
+    from scream_tpu.geometry.icp import icp_refine_if_better
 
     def one(src, tgt, sm, tm, T0, Tg):
-        re0, te0 = transformation_error(T0, Tg)
-        res = registration_icp(
-            src, tgt, icp_thresh, init=T0, max_iteration=icp_max_iter,
+        return icp_refine_if_better(
+            src, tgt, T0, Tg, icp_thresh, max_iteration=icp_max_iter,
             src_mask=sm, tgt_mask=tm,
         )
-        re1, te1 = transformation_error(res.transformation, Tg)
-        better = (re1 <= re0) & (te1 <= te0)
-        T = jnp.where(better, res.transformation, T0)
-        return T, jnp.where(better, re1, re0), jnp.where(better, te1, te0)
 
     return jax.vmap(one)(src_dn, tgt_dn, src_mask, tgt_mask, init_T, gt_T)
+
+
+def gt_center_hint(rot, trans, mode: str = "trans"):
+    """The GT-derived ``src_center`` hint the protocols feed the model.
+
+    ``"trans"``: ``t`` — 3DMatch (`/root/reference/evaluate_3d_match.py:84`,
+    `train_3d_match.py:171`). ``"neg_rt"``: ``-R^T t`` — KITTI
+    (`/root/reference/evaluate_kitti.py:39`, `train_kitti.py:156`). Returns
+    ``(B, 1, 3)``.
+    """
+    if mode == "trans":
+        return jnp.swapaxes(trans, -1, -2)
+    if mode == "neg_rt":
+        return -jnp.swapaxes(jnp.einsum("bji,bjk->bik", rot, trans), -1, -2)
+    raise ValueError(f"unknown center mode {mode!r}")
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "apply_fn", "dis_thresh", "corr", "icp_thresh", "icp_max_iter",
-        "use_icp", "icp_subsample",
+        "use_icp", "icp_subsample", "center_mode",
     ),
 )
 def register_batch(
@@ -161,6 +173,7 @@ def register_batch(
     icp_max_iter: int = 30,
     use_icp: bool = True,
     icp_subsample: Optional[int] = None,
+    center_mode: str = "trans",
 ) -> RegistrationMetrics:
     """Full eval step for one padded batch: forward, solve, refine, measure.
 
@@ -180,7 +193,7 @@ def register_batch(
     rot, trans = batch["rot"], batch["trans"]
     scale, center = batch["scale"], batch["center"]
 
-    src_center = jnp.swapaxes(trans, -1, -2)  # (B, 1, 3)
+    src_center = gt_center_hint(rot, trans, center_mode)
     src_pred = apply_fn(params, src, tgt, src_mask, tgt_mask, src_center)
     src_pred = src_pred.astype(jnp.float32)
 

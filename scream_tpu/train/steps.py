@@ -54,6 +54,7 @@ def make_registration_train_step(
     disc_apply: Optional[Callable] = None,
     render_cfg: RenderConfig = RenderConfig(),
     gan_weight: float = 0.1,
+    center_mode: str = "trans",
 ):
     """Build the jitted generator step for the registration tasks.
 
@@ -64,9 +65,13 @@ def make_registration_train_step(
     """
 
     def loss_fn(params, batch, disc_variables):
+        from scream_tpu.pipeline.register import gt_center_hint
+
         src, tgt = batch["src"], batch["tgt"]
         src_mask, tgt_mask = batch["src_mask"], batch["tgt_mask"]
-        src_center = jnp.swapaxes(batch["trans"], -1, -2)  # GT hint (reference :171)
+        # GT hint: t for 3DMatch (reference train_3d_match.py:171), -R^T t
+        # for KITTI (train_kitti.py:156).
+        src_center = gt_center_hint(batch["rot"], batch["trans"], center_mode)
         src_pred = model.apply(
             {"params": params}, src, tgt, src_mask, tgt_mask, src_center
         ).astype(jnp.float32)

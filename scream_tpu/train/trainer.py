@@ -81,6 +81,7 @@ class RegistrationTrainer:
             disc_apply=make_disc_logit_fn(self.disc) if self.use_gan else None,
             render_cfg=render_cfg,
             gan_weight=train_cfg.gan_weight,
+            center_mode=eval_cfg.center_mode,
         )
         self.disc_step = (
             make_discriminator_step(self.disc, self.disc_optimizer, render_cfg)
@@ -210,8 +211,12 @@ class RegistrationTrainer:
         """
         if not hasattr(self, "_val_loss_jit"):
             # Jit once: an unjitted model.apply here would dispatch op-by-op.
+            from scream_tpu.pipeline.register import gt_center_hint
+
             def _val_loss(params, batch):
-                src_center = jnp.swapaxes(batch["trans"], -1, -2)
+                src_center = gt_center_hint(
+                    batch["rot"], batch["trans"], self.eval_cfg.center_mode
+                )
                 src_pred = self.model.apply(
                     {"params": params},
                     batch["src"], batch["tgt"], batch["src_mask"],
@@ -235,6 +240,7 @@ class RegistrationTrainer:
                 icp_thresh=self.eval_cfg.icp_thresh,
                 icp_max_iter=self.eval_cfg.icp_max_iter,
                 use_icp=self.val_use_icp,
+                center_mode=self.eval_cfg.center_mode,
             )
             re = np.asarray(m.re_deg)
             te = np.asarray(m.te)

@@ -139,3 +139,64 @@ class TestOpenGF:
         assert out["chamfer_x1000"] < 1e-4
         assert out["height_mae_x1000"] < 1e-4
         assert out["n_patches"] == 4
+
+
+class TestCenterHint:
+    def test_modes(self, rng):
+        """t for 3DMatch vs -R^T t for KITTI (evaluate_kitti.py:39)."""
+        from scipy.spatial.transform import Rotation
+
+        from scream_tpu.pipeline.register import gt_center_hint
+
+        R = jnp.asarray(Rotation.random(4, random_state=np.random.RandomState(0))
+                        .as_matrix(), jnp.float32)
+        t = jnp.asarray(rng.standard_normal((4, 3, 1)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(gt_center_hint(R, t, "trans")),
+            np.swapaxes(np.asarray(t), -1, -2), atol=1e-6)
+        want = -np.einsum("bji,bjk->bik", np.asarray(R), np.asarray(t))
+        np.testing.assert_allclose(
+            np.asarray(gt_center_hint(R, t, "neg_rt")),
+            np.swapaxes(want, -1, -2), atol=1e-6)
+        import pytest
+
+        with pytest.raises(ValueError):
+            gt_center_hint(R, t, "nope")
+
+
+class TestFailedPairZeroAppend:
+    def test_failed_pairs_append_zeros_to_scene_stats(self, monkeypatch):
+        """Reference appends RE=TE=0 for failed gap>1 pairs
+        (evaluate_3d_match.py:136-138), so the per-scene median covers every
+        counted pair, not just the successes."""
+        from types import SimpleNamespace
+
+        import scream_tpu.eval.protocols as P
+
+        # 4 pairs, one scene, all gap>1: two succeed (RE 2, 4; TE 0.2, 0.4),
+        # two fail. Reference semantics: median([2, 4, 0, 0]) = 1.0 and
+        # median([0.2, 0.4, 0, 0]) = 0.1; success-only medians would be 3/0.3.
+        def fake_register_batch(apply_fn, params, batch, **kw):
+            return SimpleNamespace(
+                re_deg=np.array([2.0, 4.0, 50.0, 60.0]),
+                te=np.array([0.2, 0.4, 5.0, 6.0]),
+                rmse=np.array([0.1, 0.1, 0.9, 0.9]),
+                n_corr=np.array([10, 10, 10, 10]),
+            )
+
+        monkeypatch.setattr(P, "register_batch", fake_register_batch)
+
+        class OneBatch:
+            def __iter__(self):
+                yield {
+                    "src": np.zeros((4, 8, 3), np.float32),
+                    "idx": np.array([[0, 5]] * 4),
+                    "scene": np.zeros(4, np.int64),
+                }
+
+        out = P.evaluate_registration_per_scene(None, None, OneBatch())
+        assert out["registration_recall"] == 0.5
+        assert out["rre"] == 1.0  # median includes the zero-appended failures
+        assert out["rte"] == 0.1
+        # Overall success-only aggregates unaffected by the zero-append.
+        assert out["success_rre"] == 3.0
