@@ -99,7 +99,8 @@ class AttentionBlock(nn.Module):
 
     Residual wiring is deliberately faithful to the reference
     (`models/transformer.py:74-90`): both norms add the block *input* q,
-    not the intermediate message.
+    not the intermediate message. LayerNorm epsilon is 1e-5, torch's
+    default, for numerical parity (flax defaults to 1e-6).
     """
 
     d_model: int
@@ -132,7 +133,7 @@ class AttentionBlock(nn.Module):
         # norm_dtype=bfloat16 halves their HBM traffic (the norms are the
         # forward pass's largest memory consumer) at slightly reduced
         # statistics precision.
-        message = nn.LayerNorm(dtype=self.norm_dtype, name="norm1")(message + q).astype(self.dtype)
+        message = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, name="norm1")(message + q).astype(self.dtype)
 
         ffn = nn.Dense(
             self.d_model * self.ffn_mult, use_bias=False, dtype=self.dtype,
@@ -145,5 +146,5 @@ class AttentionBlock(nn.Module):
             param_dtype=jnp.float32, kernel_init=nn.initializers.xavier_uniform(),
             name="ffn_out",
         )(ffn)
-        out = nn.LayerNorm(dtype=self.norm_dtype, name="norm2")(q + ffn).astype(self.dtype)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, name="norm2")(q + ffn).astype(self.dtype)
         return out

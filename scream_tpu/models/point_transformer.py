@@ -45,7 +45,7 @@ class _Trunk(nn.Module):
             cfg.d_model, use_bias=True, dtype=dt, param_dtype=jnp.float32,
             name="embedding",
         )
-        pre_norm = nn.LayerNorm(dtype=jnp.float32, name="pre_norm")
+        pre_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pre_norm")
 
         # PE on raw coords + embedding on centered src coords
         # (reference models/pointnet.py:43-46).

@@ -177,10 +177,13 @@ def render_depth_images(
         # produces batch-dim layouts the TPU lowering rejects.
         rp = jnp.einsum("bnc,vdc->bvnd", pts, views)  # (B, V, N, 3)
         depth = rp[..., 2]
-        dmin = jnp.min(jnp.where(mask[:, None, :], depth, _BIG), axis=-1,
-                       keepdims=True)
-        dmax = jnp.max(jnp.where(mask[:, None, :], depth, -_BIG), axis=-1,
-                       keepdims=True)
+        # The normalization bounds are constants in the reference (fetched
+        # with .item(), `/root/reference/models/render.py:30-31`); detach so
+        # the extremal points get no extra gradient through dmin/dmax.
+        dmin = jax.lax.stop_gradient(jnp.min(
+            jnp.where(mask[:, None, :], depth, _BIG), axis=-1, keepdims=True))
+        dmax = jax.lax.stop_gradient(jnp.max(
+            jnp.where(mask[:, None, :], depth, -_BIG), axis=-1, keepdims=True))
         pix_val = 1.0 - (depth - dmin) / jnp.maximum(dmax - dmin, 1e-8)
         vals = jnp.stack(
             [jnp.where(m_src[:, None, :], pix_val, 0.0),
@@ -197,8 +200,9 @@ def render_depth_images(
         def per_view(R):
             rp = p @ R.T
             depth = rp[:, 2]
-            dmin = jnp.min(jnp.where(m, depth, _BIG))
-            dmax = jnp.max(jnp.where(m, depth, -_BIG))
+            # Detached bounds, as in the Pallas path (reference uses .item()).
+            dmin = jax.lax.stop_gradient(jnp.min(jnp.where(m, depth, _BIG)))
+            dmax = jax.lax.stop_gradient(jnp.max(jnp.where(m, depth, -_BIG)))
             rng = jnp.maximum(dmax - dmin, 1e-8)
             pix_val = 1.0 - (depth - dmin) / rng
             val_src = jnp.where(ms, pix_val, 0.0)
@@ -221,4 +225,5 @@ def render_from_config(
     return render_depth_images(
         src_pred, tgt, src_mask, tgt_mask,
         rho=cfg.rho, width=cfg.width, multi_view=cfg.multi_view,
+        view_mode=cfg.view_mode, use_pallas=cfg.use_pallas,
     )

@@ -30,7 +30,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_X = 1024  # pixels per block -> (8, 128) output blocks
 TILE_P = 1024  # points per block
-_NEG = -3.0e38
 _BIG_IDX = 2**30
 
 
@@ -141,6 +140,12 @@ def max_splat(xy, vals, rho: float, width: int, interpret: bool = False):
     ``xy``: (N, 2) point coordinates in the pixel frame; ``vals``: (N, 2)
     per-point intensities for the (src, tgt) channels — zero rows for points
     not in that channel or masked out.
+
+    Contract: ``vals`` must be non-negative (the renderer's inverse-depth
+    intensities are in [0, 1]). Rows padded to the point-tile size contribute
+    zero, so an all-negative channel would lose its true maximum to a padded
+    row and its cotangent would be dropped; pixels whose winner is a padded
+    row are excluded from the backward scatter.
     """
     img, _ = _splat_forward(xy, vals, rho, width, interpret)
     return img
@@ -158,12 +163,17 @@ def _max_splat_bwd(rho, width, interpret, res, g):
 
     def one_channel(c):
         idx = arg[c]  # (w*w,) winning point per pixel
+        # Pixels won by a padded row (idx >= n: no real point beat the
+        # padded zero contribution) carry no gradient; zero them instead of
+        # letting the gather clamp to row n-1.
+        real = idx < n
+        idx = jnp.where(real, idx, 0)
         xyi = xy[idx]
         d = xyi - pix
         wgt = jnp.exp(jnp.sum(d * d, axis=-1) * (-0.5 * rho * rho))
-        gv = g[c] * wgt  # d(img)/d(val) = wgt
+        gv = jnp.where(real, g[c] * wgt, 0.0)  # d(img)/d(val) = wgt
         vi = vals[idx, c]
-        gxy = (g[c] * vi * wgt * (-rho * rho))[:, None] * d
+        gxy = jnp.where(real, g[c] * vi * wgt * (-rho * rho), 0.0)[:, None] * d
         grad_val = jax.ops.segment_sum(gv, idx, num_segments=n)
         grad_xy = jax.ops.segment_sum(gxy, idx, num_segments=n)
         return grad_val, grad_xy

@@ -13,9 +13,11 @@ voxels) and returns ``(points, mask)`` with invalid rows zeroed; voxels beyond
 capacity are dropped deterministically in voxel-key order.
 
 Algorithm (sort-based, MXU/VPU friendly — no host, no hash tables):
-  1. integer voxel coords per point, linearized to a scalar key,
-  2. sort keys (invalid points get a sentinel key that sorts last),
-  3. run-starts (key != previous key) -> cumsum gives a dense segment id,
+  1. integer voxel coords per point,
+  2. lexicographic sort on the (c0, c1, c2) triple (same order as a
+     linearized key, but overflow-proof on fine grids; invalid points get
+     sentinel coords that sort last),
+  3. run-starts (coords != previous coords) -> cumsum gives a dense segment id,
   4. segment-sum coordinates and counts, divide -> centroids.
 """
 
@@ -59,20 +61,21 @@ def voxel_downsample(
     origin = jnp.min(jnp.where(mask[:, None], pts32, big), axis=0)
 
     coords = jnp.floor((pts32 - origin) / voxel_size).astype(jnp.int32)
-    # Linearize with runtime grid dims (values, not shapes — XLA-friendly).
-    dims = jnp.max(jnp.where(mask[:, None], coords, 0), axis=0) + 1
-    key = (coords[:, 0] * dims[1] + coords[:, 1]) * dims[2] + coords[:, 2]
-    # Invalid points get the int32 max sentinel: they sort last and are
-    # excluded from run-starts/segments via valid_sorted below anyway.
-    key = jnp.where(mask, key, _SENTINEL)
-
-    order = jnp.argsort(key)
-    key_sorted = key[order]
+    # Sort lexicographically on the (c0, c1, c2) triple — same order as the
+    # linearized voxel key but immune to int32 overflow of dims[0]*dims[1]*
+    # dims[2] on fine grids (int64 is unavailable without jax x64). Invalid
+    # points get int32-max coords: they sort last and are excluded from
+    # run-starts/segments via valid_sorted anyway.
+    coords = jnp.where(mask[:, None], coords, _SENTINEL)
+    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
+    coords_sorted = coords[order]
     pts_sorted = pts32[order]
     valid_sorted = mask[order]
 
-    prev = jnp.concatenate([jnp.full((1,), -1, dtype=key_sorted.dtype), key_sorted[:-1]])
-    run_start = (key_sorted != prev) & valid_sorted
+    prev = jnp.concatenate(
+        [jnp.full((1, 3), -1, dtype=coords_sorted.dtype), coords_sorted[:-1]]
+    )
+    run_start = jnp.any(coords_sorted != prev, axis=1) & valid_sorted
     seg_id = jnp.cumsum(run_start.astype(jnp.int32)) - 1  # dense id per voxel
     seg_id = jnp.where(valid_sorted, seg_id, capacity)  # invalid -> dropped bucket
 

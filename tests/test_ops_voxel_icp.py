@@ -138,3 +138,19 @@ class TestICP:
         )
         assert float(re) <= 0.1 and float(te) <= 1e-2
         assert np.allclose(np.asarray(T), T_gt, atol=1e-2)
+
+
+class TestVoxelFineGrid:
+    def test_no_int32_overflow_on_fine_grids(self, rng):
+        """A linearized int32 voxel key overflows when dims0*dims1*dims2 >
+        2^31 (fine voxel on a large extent); the lexicographic sort must
+        keep matching the int64 numpy oracle there."""
+        from scream_tpu.ops.voxel import voxel_downsample, voxel_downsample_np
+
+        pts = (rng.random((64, 3)) * 200.0).astype(np.float32)
+        got, valid = voxel_downsample(jnp.asarray(pts), 0.01, capacity=128)
+        got = np.asarray(got)[np.asarray(valid)]
+        want = voxel_downsample_np(pts, 0.01)
+        assert len(got) == len(want)
+        np.testing.assert_allclose(
+            np.sort(got, axis=0), np.sort(want, axis=0), atol=1e-4)

@@ -199,3 +199,50 @@ def test_disc_logit_fn_ignores_running_stats():
     }
     np.testing.assert_allclose(np.asarray(fn(poisoned, imgs)),
                                np.asarray(clean), atol=1e-6)
+
+
+def test_render_from_config_forwards_view_mode():
+    """The KITTI GAN preset's single *back* view must reach the renderer
+    (render_from_config previously dropped view_mode/use_pallas)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scream_tpu.config import kitti_gan_render_config
+    from scream_tpu.ops.render import render_depth_images, render_from_config
+
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.standard_normal((1, 64, 3)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((1, 64, 3)), jnp.float32)
+    cfg = kitti_gan_render_config()
+
+    got = render_from_config(src, tgt, cfg)
+    want = render_depth_images(src, tgt, rho=cfg.rho, width=cfg.width,
+                               multi_view=False, view_mode="back",
+                               use_pallas=cfg.use_pallas)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    identity = render_depth_images(src, tgt, rho=cfg.rho, width=cfg.width,
+                                   multi_view=False, view_mode="identity",
+                                   use_pallas=cfg.use_pallas)
+    assert not np.allclose(np.asarray(got), np.asarray(identity))
+
+
+def test_max_splat_backward_handles_padded_winners():
+    """Pixels whose argmax is a padded row (everything real underflows to 0)
+    must produce zero gradient, not a clamped gather."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scream_tpu.ops.splat_pallas import max_splat
+
+    # 4 real points in one corner; most pixels see only underflowed-to-zero
+    # contributions, tying with the padded rows.
+    xy = jnp.asarray(np.full((4, 2), -0.9), jnp.float32)
+    vals = jnp.asarray(np.full((4, 2), 0.5), jnp.float32)
+
+    def loss(xy, vals):
+        return jnp.sum(max_splat(xy, vals, rho=40.0, width=16, interpret=True))
+
+    gxy, gv = jax.grad(loss, argnums=(0, 1))(xy, vals)
+    assert bool(jnp.all(jnp.isfinite(gxy))) and bool(jnp.all(jnp.isfinite(gv)))
