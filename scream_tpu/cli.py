@@ -95,12 +95,12 @@ def _registration_loaders(task, data_cfg, train_cfg, root, synthetic_len=64,
             print(f"[cli] {path} not found; multi-scale synthetic pairs",
                   file=sys.stderr)
             ds = synth_multi(augment, seed0=10 if augment else 900)
-            # Sizes are statically known per part — skip the default size
-            # probe, which would materialize every synthetic pair up front.
+            # Sizes are statically known per part; the default size probe
+            # reaches them through ConcatDataset._unwrap -> size_hint with
+            # no materialization.
             return BucketedPairLoader(
                 ds, batch_size=train_cfg.batch_size, buckets=buckets,
                 shuffle=augment, drop_last=augment,
-                size_fn=lambda d, i: _concat_synth_size(d, i),
             )
         else:
             print(f"[cli] {path} not found; using synthetic pairs", file=sys.stderr)
@@ -119,15 +119,6 @@ def _registration_loaders(task, data_cfg, train_cfg, root, synthetic_len=64,
         )
 
     return make(split_train, True), make(split_val, False)
-
-
-def _concat_synth_size(concat_ds, i):
-    """Cloud sizes for a ConcatDataset of SyntheticPairDatasets, no
-    materialization (each part's n_src/n_tgt are fixed)."""
-    for p, off in zip(concat_ds.parts, concat_ds._offsets):
-        if i < off + len(p):
-            return p.n_src, p.n_tgt
-    raise IndexError(i)
 
 
 def _apply_model_overrides(model_cfg, args):

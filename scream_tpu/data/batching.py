@@ -65,7 +65,16 @@ def collate_pairs(
         "scale": np.zeros((b,), np.float32),
         "center": np.zeros((b, 3), np.float32),
     }
-    has_info = "covariance" in items[0]
+    # All-or-none: a batch mixing items with and without eval sidecars would
+    # either KeyError mid-epoch or silently drop the sidecars depending on
+    # item order — fail fast instead.
+    with_cov = ["covariance" in it for it in items]
+    if any(with_cov) and not all(with_cov):
+        raise ValueError(
+            "collate_pairs: batch mixes items with and without 'covariance' "
+            f"sidecars ({sum(with_cov)}/{len(items)} have it)"
+        )
+    has_info = with_cov[0]
     if has_info:
         batch["idx"] = np.zeros((b, 2), np.int32)
         batch["covariance"] = np.zeros((b, 6, 6), np.float32)

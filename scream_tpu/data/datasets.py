@@ -19,6 +19,7 @@ with the reference's canonical counts kept as constants for validation.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -65,6 +66,46 @@ def _count_items(directory: str, pattern: str = "src%d.npy") -> int:
     return n
 
 
+
+def _norm_fn(name: str):
+    """Strict normalization lookup — an unknown mode must fail fast, not
+    silently switch protocol (unit_sphere vs unit_cube changes every
+    downstream threshold)."""
+    try:
+        return {
+            "unit_sphere": transforms.normalize_unit_sphere,
+            "unit_cube": transforms.normalize_unit_cube,
+        }[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown normalize mode {name!r}; expected 'unit_sphere' or "
+            "'unit_cube'"
+        ) from None
+
+
+class _PerItemSeeds:
+    """Thread-safe, reproducible augmentation RNG streams.
+
+    Loader worker threads call ``__getitem__`` concurrently; a single shared
+    np.random.Generator is not thread-safe and makes runs depend on thread
+    interleaving. Instead each (item, visit-count) pair gets its own
+    deterministic seed: concurrent draws never touch shared generator state
+    and epoch k's augmentation of item i is identical across runs regardless
+    of scheduling.
+    """
+
+    def __init__(self, seed: int):
+        self.seed = seed
+        self._counts: Dict[int, int] = {}
+        self._lock = threading.Lock()
+
+    def rng(self, item: int) -> np.random.Generator:
+        with self._lock:
+            k = self._counts.get(item, 0)
+            self._counts[item] = k + 1
+        return np.random.default_rng((self.seed, item, k))
+
+
 class PairDataset:
     """Registration pairs with augmentation + normalization on read.
 
@@ -97,7 +138,7 @@ class PairDataset:
         self.jitter_std = jitter_std
         self.with_info = with_info
         self.max_points = max_points
-        self.rng = np.random.default_rng(seed)
+        self._seeds = _PerItemSeeds(seed)
         self.length = _count_items(self.dir)
         self.scene_names: Optional[List[str]] = None
         if with_info:
@@ -122,17 +163,13 @@ class PairDataset:
 
         if self.augment:
             src, tgt, T = transforms.augment_pair(
-                self.rng, src, tgt, T,
+                self._seeds.rng(item), src, tgt, T,
                 jitter_std=self.jitter_std,
                 perturb_both_sides=self.perturb_both_sides,
             )
         rot, trans = T[:3, :3], T[:3, 3:]
 
-        norm = (
-            transforms.normalize_unit_sphere
-            if self.normalize == "unit_sphere"
-            else transforms.normalize_unit_cube
-        )
+        norm = _norm_fn(self.normalize)
         src_n, tgt_n, trans_n, s, c = norm(src, tgt, rot, trans)
         out = {
             "src": src_n.astype(np.float32),
@@ -207,10 +244,15 @@ class SyntheticPairDataset:
         self.augment = augment
         self.seed = seed
         self.with_info = with_info
-        self.aug_rng = np.random.default_rng(seed + 99991)
+        self._seeds = _PerItemSeeds(seed + 99991)
 
     def __len__(self) -> int:
         return self.length
+
+    def size_hint(self, item: int):
+        """Static cloud sizes — lets BucketedPairLoader probe without
+        materializing (and without consuming augmentation RNG draws)."""
+        return self.n_src, self.n_tgt
 
     def __getitem__(self, item: int) -> Dict[str, np.ndarray]:
         from scream_tpu.data.synthetic import make_pair
@@ -221,13 +263,9 @@ class SyntheticPairDataset:
         T = np.eye(4, dtype=np.float64)
         T[:3, :3], T[:3, 3:] = pair["rot"], pair["trans"]
         if self.augment:
-            src, tgt, T = transforms.augment_pair(self.aug_rng, src, tgt, T)
+            src, tgt, T = transforms.augment_pair(self._seeds.rng(item), src, tgt, T)
         rot, trans = T[:3, :3], T[:3, 3:]
-        norm = (
-            transforms.normalize_unit_sphere
-            if self.normalize == "unit_sphere"
-            else transforms.normalize_unit_cube
-        )
+        norm = _norm_fn(self.normalize)
         src_n, tgt_n, trans_n, s, c = norm(src, tgt, rot, trans)
         out = {
             "src": src_n.astype(np.float32),
@@ -265,4 +303,12 @@ class ConcatDataset:
         for p, off in zip(self.parts, self._offsets):
             if i < off + len(p):
                 return p[i - off]
+        raise IndexError(i)
+
+    def _unwrap(self, i):
+        """Delegate size probing to the underlying part (see
+        loader._default_size_fn)."""
+        for p, off in zip(self.parts, self._offsets):
+            if i < off + len(p):
+                return p, i - off
         raise IndexError(i)

@@ -73,14 +73,32 @@ class PairLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # Bounded put that aborts when the consumer goes away — a plain
+            # q.put on a full queue would block forever if iteration is
+            # abandoned early (leaking the thread, pool, and queued batches).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    items = list(pool.map(lambda i: self.dataset[int(i)], idxs))
-                    q.put(self._collate(items))
-            q.put(None)
+            # Errors are forwarded to the consumer, never swallowed: a dead
+            # producer without a sentinel would hang the q.get() below.
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(lambda i: self.dataset[int(i)], idxs))
+                        if not _put(self._collate(items)):
+                            return
+                _put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+                _put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -89,9 +107,17 @@ class PairLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()
+            # Unblock a producer parked in q.put, then let it exit.
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 class BucketedPairLoader:
@@ -119,6 +145,7 @@ class BucketedPairLoader:
         seed: int = 0,
         num_workers: int = 4,
         size_fn=None,
+        prefetch: int = 2,
     ):
         from scream_tpu.data.batching import bucket_for
 
@@ -129,6 +156,7 @@ class BucketedPairLoader:
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
         self.num_workers = num_workers
+        self.prefetch = prefetch
 
         size_fn = size_fn or _default_size_fn
         self._assignment = {}
@@ -164,16 +192,73 @@ class BucketedPairLoader:
             for cap, chunk in plan:
                 yield collate_pairs([self.dataset[int(i)] for i in chunk], cap)
             return
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            for cap, chunk in plan:
-                items = list(pool.map(lambda i: self.dataset[int(i)], chunk))
-                yield collate_pairs(items, cap)
+
+        # Same producer/queue pattern as PairLoader: keep `prefetch` batches
+        # ready ahead of the consumer, forward errors, survive abandonment.
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for cap, chunk in plan:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(lambda i: self.dataset[int(i)], chunk))
+                        if not _put(collate_pairs(items, cap)):
+                            return
+                _put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+                _put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
+        finally:
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def _default_size_fn(dataset, i):
-    """Cheap cloud-size probe: npy headers via mmap when the dataset exposes
-    the artifact layout, else materialize the item."""
+    """Cheap cloud-size probe, never materializing items when avoidable.
+
+    Order: a dataset-provided ``size_hint(i)``; unwrap wrapper datasets
+    (``_unwrap(i) -> (inner, inner_i)``: SkipDataset, HostShardDataset,
+    ConcatDataset) and retry; npy headers via mmap for the artifact layout;
+    finally materialize the item. Materializing matters beyond speed: for an
+    augmenting dataset it would consume augmentation RNG draws just to probe
+    sizes.
+    """
     import os
+
+    while True:
+        hint = getattr(dataset, "size_hint", None)
+        if hint is not None:
+            return hint(i)
+        unwrap = getattr(dataset, "_unwrap", None)
+        if unwrap is None:
+            break
+        dataset, i = unwrap(i)
 
     d = getattr(dataset, "dir", None)
     if d is not None:
@@ -200,23 +285,24 @@ def prefetch_to_device(iterator, size: int = 2):
     import collections
 
     import jax
-    import jax.numpy as jnp
 
-    queue = collections.deque()
+    staged = collections.deque()
 
     def stage(batch):
-        return {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}
+        # One async dispatch per array: device_put on the host array IS the
+        # transfer (wrapping it in jnp.asarray would transfer twice).
+        return {k: jax.device_put(v) for k, v in batch.items()}
 
     it = iter(iterator)
     try:
         for _ in range(size):
-            queue.append(stage(next(it)))
+            staged.append(stage(next(it)))
     except StopIteration:
         pass
-    while queue:
-        out = queue.popleft()
+    while staged:
+        out = staged.popleft()
         try:
-            queue.append(stage(next(it)))
+            staged.append(stage(next(it)))
         except StopIteration:
             pass
         yield out
@@ -273,3 +359,6 @@ class HostShardDataset:
         if i < 0 or i >= len(self):
             raise IndexError(i)
         return self.dataset[self.shard + i * self.count]
+
+    def _unwrap(self, i):
+        return self.dataset, self.shard + i * self.count

@@ -69,13 +69,23 @@ def load_covariance_index(info_dir: str) -> Dict[str, np.ndarray]:
     (`/root/reference/datasets/three_d_match.py:76-81`). ``info_dir`` holds
     ``<scene>/gt.info`` per scene."""
     index: Dict[str, np.ndarray] = {}
+    found = 0
     for scene in SCENE_NAME_TO_ABBR:
         path = os.path.join(info_dir, scene, "gt.info")
         if not os.path.exists(path):
             continue
+        found += 1
         for rec in read_redwood_info(path):
             t, s = rec["test_pair"]
             index[f"{scene}_{t},{s}"] = rec["covariance"]
+    if found == 0:
+        # A mistyped info_dir would otherwise yield an empty index and only
+        # fail thousands of fragments later (the reference opens the files
+        # unconditionally and raises immediately, three_d_match.py:77).
+        raise FileNotFoundError(
+            f"no <scene>/gt.info files found under {info_dir!r} for any of "
+            f"the {len(SCENE_NAME_TO_ABBR)} test scenes"
+        )
     return index
 
 
@@ -211,8 +221,9 @@ class KittiOdometry:
 
     def __init__(self, root: str, mode: str = "train",
                  data_augmentation: bool = False, seed: int = 0,
-                 icp_max_iteration: int = 200):
+                 icp_max_iteration: int = 200, strict: bool = True):
         self.root = os.path.join(root, "dataset")
+        self.strict = strict
         self.icp_path = os.path.join(root, "icp")
         os.makedirs(self.icp_path, exist_ok=True)
         self.voxel_size = 0.3
@@ -227,7 +238,16 @@ class KittiOdometry:
         self.files: List[Tuple[int, int, int]] = []
         for drive in KITTI_SEQUENCES[mode]:
             frame_ids = self._frame_ids(drive)
+            # Fail fast on a partially downloaded root: silently skipping a
+            # drive would shrink the canonical split (the reference asserts,
+            # datasets/kitti.py:57). strict=False admits subset roots.
             if not frame_ids:
+                if self.strict:
+                    raise AssertionError(
+                        f"no velodyne frames for KITTI sequence {drive:02d} "
+                        f"under {self.root!r} — make sure the path has data "
+                        "(pass strict=False to allow a subset of sequences)"
+                    )
                 continue
             poses = self._positions(drive)
             for t0, t1 in select_kitti_pairs(poses, frame_ids):

@@ -54,6 +54,10 @@ class SkipDataset:
     def __getitem__(self, i):
         return self._dataset[self._index[i]]
 
+    def _unwrap(self, i):
+        """Size-probe delegation (see scream_tpu.data.loader._default_size_fn)."""
+        return self._dataset, self._index[i]
+
 
 def _to_device(batch, skip=("idx", "scene")):
     """Ship a batch to device, leaving host-only sidecars (consumed from the

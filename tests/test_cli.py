@@ -219,9 +219,13 @@ def test_buckets_for_cap_between_sizes():
     assert _buckets_for(6000, smallest=1024) == (1024, 2048, 4096, 6000)
 
 
-def test_concat_synth_size_no_materialization():
-    from scream_tpu.cli import _concat_synth_size
-    from scream_tpu.data import ConcatDataset, SyntheticPairDataset
+def test_size_probe_does_not_materialize():
+    """BucketedPairLoader's default size probe must reach SyntheticPairDataset
+    size hints through wrappers without materializing items (materializing
+    would also consume augmentation RNG draws)."""
+    from scream_tpu.data import BucketedPairLoader, ConcatDataset, SyntheticPairDataset
+    from scream_tpu.data.loader import _default_size_fn
+    from scream_tpu.eval import SkipDataset
 
     class Exploding(SyntheticPairDataset):
         def __getitem__(self, i):
@@ -231,5 +235,9 @@ def test_concat_synth_size_no_materialization():
         Exploding(length=4, n_src=100, n_tgt=110),
         Exploding(length=3, n_src=200, n_tgt=210),
     ])
-    assert _concat_synth_size(ds, 0) == (100, 110)
-    assert _concat_synth_size(ds, 5) == (200, 210)
+    assert _default_size_fn(ds, 0) == (100, 110)
+    assert _default_size_fn(ds, 5) == (200, 210)
+    assert _default_size_fn(SkipDataset(ds, (0,)), 0) == (100, 110)
+    loader = BucketedPairLoader(ds, batch_size=2, buckets=(128, 256))
+    assert len(loader._assignment[128]) == 4
+    assert len(loader._assignment[256]) == 3

@@ -273,3 +273,77 @@ class TestHostShardDataset:
         assert len(sh) == 2
         with pytest.raises(IndexError):
             sh[2]
+
+
+class TestLoaderRobustness:
+    def test_worker_error_propagates(self):
+        """A dataset error in the threaded path must raise promptly, not hang
+        the consumer on a queue that never gets its sentinel."""
+        from scream_tpu.data import PairLoader
+
+        class Bad:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i == 5:
+                    raise FileNotFoundError("src5.npy missing")
+                rng = np.random.default_rng(i)
+                return {
+                    "src": rng.standard_normal((16, 3)).astype(np.float32),
+                    "tgt": rng.standard_normal((16, 3)).astype(np.float32),
+                    "rot": np.eye(3, dtype=np.float32),
+                    "trans": np.zeros((3, 1), np.float32),
+                }
+
+        loader = PairLoader(Bad(), batch_size=4, src_capacity=32, num_workers=2)
+        with pytest.raises(FileNotFoundError):
+            for _ in loader:
+                pass
+
+    def test_abandoned_iteration_releases_producer(self):
+        """Breaking out mid-iteration must unblock the producer thread; a
+        fresh full iteration afterwards still works."""
+        import threading
+
+        from scream_tpu.data import PairLoader, SyntheticPairDataset
+
+        ds = SyntheticPairDataset(length=16, n_src=16, n_tgt=16)
+        loader = PairLoader(ds, batch_size=2, src_capacity=32, num_workers=2,
+                            prefetch=1)
+        before = threading.active_count()
+        for _ in range(3):
+            for batch in loader:
+                break  # abandon with the queue full
+        assert sum(1 for _ in loader) == len(loader)
+        # Producer threads from the abandoned iterations must wind down.
+        import time
+
+        for _ in range(50):
+            if threading.active_count() <= before + 1:
+                break
+            time.sleep(0.1)
+        assert threading.active_count() <= before + 1
+
+
+class TestAugmentationRNG:
+    def test_per_item_reproducible_any_order(self):
+        """Augmentation draws are per-(item, visit): reading items in any
+        order or from any thread interleaving yields identical augmented
+        data for a given epoch."""
+        from scream_tpu.data import SyntheticPairDataset
+
+        a = SyntheticPairDataset(length=6, n_src=32, n_tgt=32, augment=True, seed=3)
+        b = SyntheticPairDataset(length=6, n_src=32, n_tgt=32, augment=True, seed=3)
+        fwd = [a[i]["src"] for i in range(6)]
+        rev = [b[i]["src"] for i in reversed(range(6))][::-1]
+        for x, y in zip(fwd, rev):
+            np.testing.assert_array_equal(x, y)
+
+    def test_fresh_augmentation_per_epoch(self):
+        from scream_tpu.data import SyntheticPairDataset
+
+        ds = SyntheticPairDataset(length=2, n_src=32, n_tgt=32, augment=True, seed=3)
+        e0 = ds[0]["src"]
+        e1 = ds[0]["src"]  # second visit = next epoch
+        assert not np.array_equal(e0, e1)

@@ -137,7 +137,7 @@ class TestKittiOdometry:
 
     def test_pairs_and_item(self, tmp_path):
         root = self._make_fixture(tmp_path)
-        ds = KittiOdometry(root, mode="test", icp_max_iteration=10)
+        ds = KittiOdometry(root, mode="test", icp_max_iteration=10, strict=False)
         assert len(ds) >= 1
         it = ds[0]
         assert it["src"].shape[1] == 3
@@ -153,3 +153,22 @@ class TestKittiOdometry:
 
     def test_bad_pair_removed_only_in_test(self):
         assert KITTI_BAD_TEST_PAIR == (8, 15, 58)
+
+
+def test_kitti_strict_fails_fast_on_missing_sequence(tmp_path):
+    """A canonical split with a missing sequence must error, not silently
+    shrink (the reference asserts, datasets/kitti.py:57)."""
+    import pytest
+
+    (tmp_path / "dataset" / "sequences").mkdir(parents=True)
+    with pytest.raises(AssertionError, match="sequence 08"):
+        KittiOdometry(str(tmp_path), mode="test")
+
+
+def test_covariance_index_missing_dir_raises(tmp_path):
+    import pytest
+
+    from scream_tpu.data.raw import load_covariance_index
+
+    with pytest.raises(FileNotFoundError):
+        load_covariance_index(str(tmp_path / "not_info"))
