@@ -44,6 +44,10 @@ def redwood_rmse(trans: jnp.ndarray, info: jnp.ndarray) -> jnp.ndarray:
     """
     t = trans[..., :3, 3]
     q = so3.quat_from_matrix(trans[..., :3, :3])
+    # nibabel's mat2quat (the reference's converter, evaluate_3d_match.py:47)
+    # canonicalizes to w >= 0; without this the q vs -q ambiguity flips the
+    # t-q cross terms of er^T info er for residual rotations beyond ~120 deg.
+    q = jnp.where(q[..., 0:1] < 0.0, -q, q)
     er = jnp.concatenate([t, q[..., 1:]], axis=-1)
     p = jnp.einsum("...i,...ij,...j->...", er, info, er) / info[..., 0, 0]
     return p

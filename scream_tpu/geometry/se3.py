@@ -188,12 +188,16 @@ def jacob_expeD_de(D: jnp.ndarray, pseudo: bool = True) -> jnp.ndarray:
     # d/du of translation = I; rotation unaffected by u at eps=0.
     eye3 = jnp.broadcast_to(jnp.eye(3, dtype=D.dtype), batch + (3, 3))
     out = out.at[..., :, 3, :3].set(eye3)
-    # d/dw: first-order, exp(w) ~ I + hat(w): d(hat(w) R)/dw_k = hat(e_k) R
+    # d/dw: first-order, exp(w) ~ I + hat(w): d(hat(w) R)/dw_k = hat(e_k) R.
+    # The exp and pexp charts coincide to first order at eps=0 (pexp differs
+    # only in the translation V-matrix, which is I + O(w)), so `pseudo` does
+    # not change this jacobian.
+    del pseudo
     for k in range(3):
         e = jnp.zeros((3,), dtype=D.dtype).at[k].set(1.0)
         He = so3.hat(e)
         dR = jnp.einsum("ij,...jl->...il", He, R)
-        dt = jnp.einsum("ij,...jl->...il", He, t) if not pseudo else jnp.einsum("ij,...jl->...il", He, t)
+        dt = jnp.einsum("ij,...jl->...il", He, t)
         out = out.at[..., :, :3, 3 + k].set(dR)
         out = out.at[..., :, 3, 3 + k].set(dt[..., 0])
     return out.reshape(batch + (12, 6))

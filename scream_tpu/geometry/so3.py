@@ -72,11 +72,20 @@ def log(R: jnp.ndarray) -> jnp.ndarray:
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    # Safe-input arccos: arccos'(x) is inf at |x|=1, and the zero cotangent
+    # of an untaken where-branch still multiplies it (0*inf=NaN), so the
+    # derivative would NaN exactly at theta=0/pi without the inner clip
+    # (the forward theta shifts by at most ~4.5e-4 rad at the exact
+    # endpoints, on par with f32 arccos precision there). Branch predicates
+    # use the unclipped value under stop_gradient so exact 0/pi still
+    # select their dedicated branches.
+    cos_safe = jnp.clip(cos_theta, -1.0 + 1e-7, 1.0 - 1e-7)
+    theta = jnp.arccos(cos_safe)
     sin_theta = jnp.sin(theta)
+    theta_pred = jax.lax.stop_gradient(jnp.arccos(cos_theta))
 
-    near_zero = theta < _EPS
-    near_pi = (jnp.pi - theta) < 1e-4
+    near_zero = theta_pred < _EPS
+    near_pi = (jnp.pi - theta_pred) < 1e-4
 
     # Generic branch (safe denominator).
     denom = jnp.where(near_zero | near_pi, jnp.ones_like(sin_theta), 2.0 * sin_theta)
@@ -182,7 +191,7 @@ def matrix_from_quat(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def euler_zyx_matrix(euler: jnp.ndarray) -> jnp.ndarray:
-    """Intrinsic z-y-x Euler angles ``(..., 3)`` -> rotation matrix.
+    """*Extrinsic* z-y-x Euler angles ``(..., 3)`` -> rotation matrix.
 
     Equivalent to ``scipy.spatial.transform.Rotation.from_euler('zyx', e)``,
     which the reference uses for renderer view matrices

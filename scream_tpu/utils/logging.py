@@ -26,14 +26,20 @@ class MetricsLogger:
         self._file = open(jsonl_path, "a") if jsonl_path else None
 
     def log(self, step: int, metrics: Dict[str, float], prefix: str = "train"):
+        """Record (and print) one metrics snapshot.
+
+        Callers throttle how often they call this (the trainers gate on
+        their per-epoch batch counter against ``print_every``); gating again
+        here on ``step % print_every`` would silently drop most output the
+        moment the two counters desynchronize, so every call prints.
+        """
         record = {"step": int(step), "prefix": prefix}
         record.update({k: float(v) for k, v in metrics.items()})
         if self._file:
             self._file.write(json.dumps(record) + "\n")
             self._file.flush()
-        if step % self.print_every == 0:
-            parts = "  ".join(f"{k}: {float(v):.5f}" for k, v in metrics.items())
-            print(f"\r{prefix} step {step}  {parts}", end="", file=sys.stderr)
+        parts = "  ".join(f"{k}: {float(v):.5f}" for k, v in metrics.items())
+        print(f"\r{prefix} step {step}  {parts}", end="", file=sys.stderr)
 
     def close(self):
         if self._file:

@@ -284,3 +284,40 @@ class TestQuaternionAlgebra:
         prod = so3.quat_mul(q, so3.quat_inv(q))
         ident = np.zeros((6, 4)); ident[:, 0] = 1.0
         assert np.allclose(np.asarray(prod), ident, atol=1e-6)
+
+
+class TestLogGradientsSafe:
+    def test_log_grad_finite_at_identity_and_pi(self):
+        """arccos' is inf at |cos|=1; the safe-input clip must keep
+        jacobians finite exactly at theta=0 and theta=pi (a pose loss on
+        log(residual) hits theta=0 at convergence)."""
+        Ji = jax.jacobian(so3.log)(jnp.eye(3))
+        assert np.all(np.isfinite(np.asarray(Ji)))
+        R_pi = so3.exp(jnp.asarray([np.pi, 0.0, 0.0], jnp.float32))
+        Jp = jax.jacobian(so3.log)(R_pi)
+        assert np.all(np.isfinite(np.asarray(Jp)))
+        # Forward values unchanged: identity -> 0, pi-rotation magnitude ~pi.
+        assert np.allclose(np.asarray(so3.log(jnp.eye(3))), 0.0)
+        assert np.linalg.norm(np.asarray(so3.log(R_pi))) == pytest.approx(
+            np.pi, abs=1e-3)
+
+
+class TestRedwoodQuatSign:
+    def test_large_residual_matches_nibabel_convention(self, rng):
+        """quat canonicalization (w >= 0) for residual rotations beyond
+        ~120 deg, where quat_from_matrix may return the -q representative."""
+        from scream_tpu.geometry.metrics import redwood_rmse
+
+        w = jnp.asarray([0.0, 0.0, 2.8])  # 160 deg about z
+        R = so3.exp(w)
+        T = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(
+            jnp.asarray(rng.standard_normal(3), jnp.float32))
+        info = jnp.asarray(rng.standard_normal((6, 6)), jnp.float32)
+        info = info @ info.T + 6 * jnp.eye(6)  # SPD with cross terms
+
+        q = np.asarray(so3.quat_from_matrix(R))
+        q = q if q[0] >= 0 else -q  # nibabel convention
+        er = np.concatenate([np.asarray(T[:3, 3]), q[1:]])
+        want = er @ np.asarray(info) @ er / np.asarray(info)[0, 0]
+        got = float(redwood_rmse(T, info))
+        assert got == pytest.approx(float(want), rel=1e-5)

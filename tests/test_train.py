@@ -222,3 +222,24 @@ class TestDEMStateResume:
         assert int(tr.state.step) == step
         for a, b in zip(leaves, jax.tree_util.tree_leaves(tr.state.params)):
             np.testing.assert_array_equal(a, np.asarray(b))
+
+
+class TestBestCheckpointerGating:
+    def test_best_persists_across_restart(self, tmp_path):
+        from scream_tpu.utils.checkpoint import BestCheckpointer
+
+        c1 = BestCheckpointer(str(tmp_path), mode="min")
+        assert c1.maybe_save(0.10, {"w": np.zeros(2)})
+        # Fresh instance (a resumed run): a worse metric must NOT clobber.
+        c2 = BestCheckpointer(str(tmp_path), mode="min")
+        assert c2.best == 0.10
+        assert not c2.maybe_save(0.25, {"w": np.ones(2)})
+        assert c2.maybe_save(0.05, {"w": np.ones(2)})
+
+    def test_nan_metric_never_saves(self, tmp_path):
+        from scream_tpu.utils.checkpoint import BestCheckpointer
+
+        c = BestCheckpointer(str(tmp_path), mode="min")
+        assert not c.maybe_save(float("nan"), {"w": np.zeros(2)})
+        assert c.best is None
+        assert c.maybe_save(0.5, {"w": np.zeros(2)})  # recovery still gates
