@@ -188,7 +188,6 @@ def cmd_train(args):
         trainer = RegistrationTrainer(
             train_loader, val_loader,
             model_cfg=model_cfg, train_cfg=train_cfg, eval_cfg=eval_cfg,
-            decay_mode="kitti" if args.task == "kitti" else "every15",
             checkpoint_dir=args.checkpoint_dir,
             sample_img_dir=args.sample_img_dir,
         )
@@ -244,7 +243,18 @@ def cmd_evaluate(args):
     task = "opengf" if args.protocol == "opengf" else (
         "kitti" if args.protocol == "kitti" else "3dmatch"
     )
-    model_cfg, train_cfg, data_cfg, eval_cfg = TASKS[task]()
+    model_cfg, train_cfg, data_cfg, _ = TASKS[task]()
+    from scream_tpu.config import eval_preset
+
+    eval_cfg = eval_preset(args.protocol)
+    over = {}
+    for field in ("dis_thresh", "rmse_thresh", "icp_thresh", "icp_max_iter",
+                  "re_stat"):
+        v = getattr(args, field, None)
+        if v is not None:
+            over[field] = v
+    if over:
+        eval_cfg = dataclasses.replace(eval_cfg, **over)
     model_cfg = _apply_model_overrides(model_cfg, args)
     if args.max_points:
         data_cfg = dataclasses.replace(data_cfg, max_points=args.max_points)
@@ -306,20 +316,17 @@ def cmd_evaluate(args):
         batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
         apply_fn, params = _load_model_params(task, model_cfg, args.params, batch)
 
-        fn = {
-            "3dmatch": protocols.evaluate_3d_match,
-            "3dlomatch": protocols.evaluate_3d_lo_match,
-            "3dzeromatch": protocols.evaluate_3d_zero_match,
-        }.get(args.protocol)
-        if fn is not None:
-            out = fn(apply_fn, params, loader)
-        else:
+        if args.protocol == "kitti":
             out = protocols.evaluate_kitti(
                 apply_fn, params, loader,
                 dis_thresh=eval_cfg.dis_thresh, icp_thresh=eval_cfg.icp_thresh,
                 icp_max_iter=eval_cfg.icp_max_iter,
+                success_re_deg=eval_cfg.success_re_deg,
+                success_te=eval_cfg.success_te,
                 center_mode=eval_cfg.center_mode,
             )
+        else:
+            out = protocols.evaluate_registration(apply_fn, params, loader, eval_cfg)
     print(json.dumps({k: v for k, v in out.items()}, default=float))
 
 
@@ -467,6 +474,16 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--cross-layers", type=int, default=None)
     e.add_argument("--bucketed", action="store_true",
                    help="group pairs by cloud size (one compile per bucket)")
+    e.add_argument("--dis-thresh", type=float, default=None,
+                   help="NN correspondence threshold (protocol preset default)")
+    e.add_argument("--rmse-thresh", type=float, default=None,
+                   help="redwood RMSE recall criterion (default 0.2)")
+    e.add_argument("--icp-thresh", type=float, default=None,
+                   help="ICP max correspondence distance")
+    e.add_argument("--icp-max-iter", type=int, default=None,
+                   help="ICP iteration cap (30 for 3DMatch, 1000 for KITTI)")
+    e.add_argument("--re-stat", choices=["median", "mean"], default=None,
+                   help="per-scene RE/TE statistic")
     e.set_defaults(fn=cmd_evaluate)
 
     pr = sub.add_parser("preprocess", help="raw data -> .npy artifacts")

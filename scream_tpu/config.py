@@ -10,7 +10,7 @@ trainers and the eval protocols.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 
@@ -74,7 +74,11 @@ class TrainConfig:
     lr_d: float = 1e-4
     min_lr: float = 1e-5
     lr_decay_gamma: float = 0.5
-    lr_decay_epochs: Tuple[int, ...] = (15, 30)
+    # LR-decay epoch boundaries: "every15" -> 15, 30, 45... (3DMatch/OpenGF,
+    # /root/reference/train_3d_match.py:44-51); "kitti" -> 10, 40, 70...
+    # (/root/reference/train_kitti.py:231-234). Consumed by
+    # train.optim.generator_optimizer.
+    decay_mode: str = "every15"
     epochs: int = 45
     batch_size: int = 8
     use_gan: bool = False
@@ -119,6 +123,28 @@ class EvalConfig:
     center_mode: str = "trans"  # "neg_rt" for KITTI
 
 
+def eval_preset(protocol: str) -> EvalConfig:
+    """Per-protocol evaluation knobs, each cited to the reference driver.
+
+    This is the single source the CLI evaluates from — every EvalConfig
+    field is honored by `eval.protocols.evaluate_registration`
+    (`/root/reference/evaluate_3d_match.py:174-195`,
+    `/root/reference/evaluate_kitti.py:31-110`).
+    """
+    presets = {
+        "3dmatch": EvalConfig(),
+        "3dlomatch": EvalConfig(),
+        "3dzeromatch": EvalConfig(dis_thresh=0.2, corr="src_pred", re_stat="mean"),
+        "kitti": EvalConfig(dis_thresh=1.5, icp_thresh=1.0, icp_max_iter=1000,
+                            center_mode="neg_rt"),
+        "opengf": EvalConfig(),
+    }
+    try:
+        return presets[protocol]
+    except KeyError:
+        raise ValueError(f"unknown eval protocol {protocol!r}") from None
+
+
 def kitti_gan_render_config() -> RenderConfig:
     """The renderer override the reference applies for KITTI GAN training
     (`/root/reference/train_kitti.py:45-48`): rho 48, single back view."""
@@ -137,7 +163,7 @@ def threedmatch_presets():
 def kitti_presets():
     return (
         ModelConfig(),
-        TrainConfig(lr_g=3.2e-4, epochs=120, lr_decay_epochs=(10, 30),
+        TrainConfig(lr_g=3.2e-4, epochs=120, decay_mode="kitti",
                     checkpoint_metric="success_rate"),
         DataConfig(max_points=8192, normalize="unit_cube", augment_jitter_std=0.0,
                    perturb_both_sides=False),

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import threading
+import warnings
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -64,6 +65,24 @@ def _count_items(directory: str, pattern: str = "src%d.npy") -> int:
     while os.path.exists(os.path.join(directory, pattern % n)):
         n += 1
     return n
+
+
+def _check_canonical_size(split_dir: str, discovered: int) -> None:
+    """Warn when a discovered split length disagrees with the reference's
+    hardcoded count — the usual cause is a truncated download. Lengths are
+    discovered (not baked in) so partial datasets still work, but silently
+    evaluating on a subset would corrupt protocol numbers."""
+    expected = CANONICAL_SIZES.get(split_dir)
+    if expected is not None and discovered not in (0, expected):
+        warnings.warn(
+            f"{split_dir}: found {discovered} items on disk but the reference "
+            f"split has {expected} "
+            "(/root/reference/datasets/three_d_match.py:173,200,226,252,278; "
+            "kitti.py:281,308,333; open_gf.py:16,36,56) — possibly a "
+            "truncated download; protocol metrics over this split will not "
+            "be comparable.",
+            stacklevel=3,
+        )
 
 
 
@@ -140,6 +159,7 @@ class PairDataset:
         self.max_points = max_points
         self._seeds = _PerItemSeeds(seed)
         self.length = _count_items(self.dir)
+        _check_canonical_size(split_dir, self.length)
         self.scene_names: Optional[List[str]] = None
         if with_info:
             names_path = os.path.join(self.dir, "info", "scene_names.txt")
@@ -204,6 +224,7 @@ class OpenGFDataset:
         while os.path.exists(os.path.join(self.dir, "%d.npy" % (n + 1))):
             n += 1
         self.length = n
+        _check_canonical_size(f"OpenGF_{split}", self.length)
 
     def __len__(self) -> int:
         return self.length

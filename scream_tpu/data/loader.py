@@ -80,7 +80,11 @@ class PairLoader:
             while not stop.is_set():
                 try:
                     q.put(item, timeout=0.1)
-                    return True
+                    # Re-check after a successful put: the consumer may have
+                    # set stop between our is_set check and the put (its drain
+                    # then empties the queue), in which case continuing to
+                    # produce would read up to `prefetch` wasted batches.
+                    return not stop.is_set()
                 except queue.Full:
                     continue
             return False

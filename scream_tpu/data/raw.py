@@ -173,6 +173,24 @@ KITTI_SEQUENCES = {"train": [0, 1, 2, 3, 4, 5], "val": [6, 7], "test": [8, 9, 10
 KITTI_BAD_TEST_PAIR = (8, 15, 58)
 
 
+def extrinsic_zyx_rotation(euler: np.ndarray) -> np.ndarray:
+    """Extrinsic z-y-x Euler angles ``(3,)`` -> rotation matrix.
+
+    Equals ``scipy.spatial.transform.Rotation.from_euler('zyx', e)`` — the
+    KITTI augmentation convention (`/root/reference/datasets/kitti.py:164-165`).
+    scipy's lowercase axis string means *extrinsic* rotations: about fixed z
+    first, then fixed y, then fixed x, i.e. ``R = Rx @ Ry @ Rz`` (same math
+    as `scream_tpu.geometry.so3.euler_zyx_matrix`, host-side).
+    """
+    cz, sz = np.cos(euler[0]), np.sin(euler[0])
+    cy, sy = np.cos(euler[1]), np.sin(euler[1])
+    cx, sx = np.cos(euler[2]), np.sin(euler[2])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    return Rx @ Ry @ Rz
+
+
 def velo2cam_matrix() -> np.ndarray:
     """The fixed velodyne->camera calibration, TRANSPOSED as the reference
     stores it (`/root/reference/datasets/kitti.py:192-203`)."""
@@ -321,13 +339,7 @@ class KittiOdometry:
             src = src + (self.rng.random(src.shape) - 0.5) * self.augment_noise
             tgt = tgt + (self.rng.random(tgt.shape) - 0.5) * self.augment_noise
             euler = self.rng.random(3) * 2 * np.pi
-            cz, sz = np.cos(euler[0]), np.sin(euler[0])
-            cy, sy = np.cos(euler[1]), np.sin(euler[1])
-            cx, sx = np.cos(euler[2]), np.sin(euler[2])
-            Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
-            Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
-            Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
-            R = Rz @ Ry @ Rx
+            R = extrinsic_zyx_rotation(euler)
             if self.rng.random() > 0.5:
                 src = src @ R.T
             else:

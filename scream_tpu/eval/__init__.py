@@ -8,6 +8,7 @@ from scream_tpu.eval.protocols import (
     evaluate_3d_zero_match,
     evaluate_kitti,
     evaluate_open_gf,
+    evaluate_registration,
     evaluate_registration_per_scene,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "evaluate_3d_zero_match",
     "evaluate_kitti",
     "evaluate_open_gf",
+    "evaluate_registration",
     "evaluate_registration_per_scene",
 ]

@@ -75,6 +75,7 @@ def evaluate_registration_per_scene(
     icp_max_iter: int = 30,
     re_stat: str = "median",
     rmse_thresh: float = 0.2,
+    center_mode: str = "trans",
     n_scenes: int = 8,
 ) -> Dict[str, float]:
     """The 3DMatch-family benchmark with per-scene aggregation.
@@ -130,6 +131,7 @@ def evaluate_registration_per_scene(
             apply_fn, params, _to_device(batch),
             dis_thresh=dis_thresh, corr=corr,
             icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
+            center_mode=center_mode,
         )
         if pending is not None:
             _consume(*pending)
@@ -162,6 +164,22 @@ def evaluate_registration_per_scene(
         if scene_valid[s]:
             out[f"rr/{SCENE_NAMES[s]}"] = scene_success[s] / scene_valid[s]
     return out
+
+
+def evaluate_registration(apply_fn, params, loader, cfg: EvalConfig) -> Dict[str, float]:
+    """Config-driven entry: every `EvalConfig` knob is honored.
+
+    This is what the CLI calls (with `config.eval_preset(protocol)`), so a
+    user editing ``rmse_thresh``/``re_stat``/``corr``/ICP settings changes
+    the protocol rather than being silently ignored.
+    """
+    return evaluate_registration_per_scene(
+        apply_fn, params, loader,
+        dis_thresh=cfg.dis_thresh, corr=cfg.corr,
+        icp_thresh=cfg.icp_thresh, icp_max_iter=cfg.icp_max_iter,
+        re_stat=cfg.re_stat, rmse_thresh=cfg.rmse_thresh,
+        center_mode=cfg.center_mode,
+    )
 
 
 def evaluate_3d_match(apply_fn, params, loader, dis_thresh: float = 0.1):

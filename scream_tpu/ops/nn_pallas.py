@@ -172,8 +172,9 @@ def nearest_neighbor_full(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Backend dispatch returning ``(distance, index, winner_xyz)`` batched.
 
-    The winner coordinates come straight from the kernel on TPU (no gather);
-    the XLA fallback gathers.
+    On both backends the winner coordinates are a single gather on the
+    kernel's argmin indices — the in-kernel one-hot variant was removed for
+    a ~40% end-to-end throughput win (see ``nearest_neighbor_pallas``).
     """
     if jax.default_backend() == "tpu":
         if dst_mask is None:

@@ -28,8 +28,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 def make_expert_mesh(n_experts_shards: int, devices: Optional[Sequence] = None) -> Mesh:
     """A 1-D ``(expert,)`` mesh."""
-    devices = list(devices if devices is not None else jax.devices())[:n_experts_shards]
-    return Mesh(np.asarray(devices), ("expert",))
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) < n_experts_shards:
+        raise ValueError(
+            f"expert mesh needs {n_experts_shards} devices, got {len(devices)}"
+        )
+    return Mesh(np.asarray(devices[:n_experts_shards]), ("expert",))
 
 
 def init_moe_ffn_params(rng, d_model: int, d_hidden: int, n_experts: int):

@@ -82,6 +82,12 @@ def pipeline_parallel_apply(
 
         def tick(carry, t):
             act = carry
+            # During the n_stages-1 drain ticks (t >= n_micro) stage 0 has no
+            # fresh input; the clip re-feeds the last microbatch and its
+            # (discarded) outputs ripple down the pipe. That recompute never
+            # reaches the emitted output slice below — it is wasted work, but
+            # a lax.cond skip would cost a branch in every tick for at most
+            # n_stages-1 spare stage evaluations per call.
             mb_idx = jnp.clip(t, 0, n_micro - 1)
             mb = jax.tree_util.tree_map(
                 lambda x: jax.lax.dynamic_index_in_dim(x, mb_idx, 0, False),

@@ -115,34 +115,50 @@ def tensor_parallel_step(
     """
     batch_sh = NamedSharding(mesh, P(data_axis))
     rep = NamedSharding(mesh, P())
-    # Param-path -> (spec, shape) table for matching optimizer-moment leaves
-    # (optax moment trees embed the param tree: their leaf paths end with the
-    # param's path and shapes match). Derived once per param treedef — the
-    # device_puts themselves are no-ops after the first step (the outputs
-    # already carry the shardings), so only the table build is hoisted.
+    # The optimizer-moment layout is resolved ONCE per (param treedef,
+    # opt treedef, leaf shapes) by suffix-matching moment-leaf paths against
+    # param paths (optax moment trees embed the param tree: their leaf paths
+    # end with the param's path and shapes match). The resolved flat sharding
+    # list is cached so the hot path is a zip of no-op device_puts, not an
+    # O(#opt-leaves x #params) Python matching loop every step.
     cache = {}
 
-    def wrapped(state, batch, *args):
-        params = shard_params_tensor_parallel(state.params, mesh, model_axis)
-        treedef = jax.tree_util.tree_structure(state.params)
-        by_path = cache.get(treedef)
-        if by_path is None:
-            leaves = jax.tree_util.tree_flatten_with_path(state.params)[0]
-            by_path = cache[treedef] = {
-                _path_names(p): (_spec_for(_path_names(p), model_axis), v.shape)
-                for p, v in leaves
-            }
+    def _resolve_opt_shardings(params, opt_state):
+        leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+        by_path = {
+            _path_names(p): (_spec_for(_path_names(p), model_axis), v.shape)
+            for p, v in leaves
+        }
 
-        def put_opt_leaf(path, leaf):
+        def sharding_for(path, leaf):
             if not hasattr(leaf, "shape"):
-                return leaf
+                return None
             names = _path_names(path)
             for k, (s, shape) in by_path.items():
                 if k and names[-len(k):] == k and leaf.shape == shape:
-                    return jax.device_put(leaf, NamedSharding(mesh, s))
-            return jax.device_put(leaf, rep)
+                    return NamedSharding(mesh, s)
+            return rep
 
-        opt_state = jax.tree_util.tree_map_with_path(put_opt_leaf, state.opt_state)
+        with_path = jax.tree_util.tree_flatten_with_path(opt_state)[0]
+        return [sharding_for(p, l) for p, l in with_path]
+
+    def wrapped(state, batch, *args):
+        params = shard_params_tensor_parallel(state.params, mesh, model_axis)
+        opt_leaves, opt_treedef = jax.tree_util.tree_flatten(state.opt_state)
+        key = (
+            jax.tree_util.tree_structure(state.params),
+            opt_treedef,
+            tuple(getattr(l, "shape", None) for l in opt_leaves),
+        )
+        shardings = cache.get(key)
+        if shardings is None:
+            shardings = cache[key] = _resolve_opt_shardings(
+                state.params, state.opt_state
+            )
+        opt_state = opt_treedef.unflatten([
+            leaf if s is None else jax.device_put(leaf, s)
+            for leaf, s in zip(opt_leaves, shardings)
+        ])
         state = state._replace(params=params, opt_state=opt_state)
         batch = {k: jax.device_put(v, batch_sh) for k, v in batch.items()}
         args = tuple(

@@ -51,11 +51,15 @@ def lr_schedule(
 
 
 def generator_optimizer(
-    cfg: TrainConfig, steps_per_epoch: int, decay_mode: str = "every15"
+    cfg: TrainConfig, steps_per_epoch: int, decay_mode: str | None = None
 ) -> optax.GradientTransformation:
+    """Adam with the epoch-boundary step decay from ``cfg.decay_mode``.
+
+    ``decay_mode`` overrides the config field when given (legacy call sites).
+    """
     sched = lr_schedule(
         cfg.lr_g,
-        decay_epochs(decay_mode, cfg.epochs),
+        decay_epochs(decay_mode or cfg.decay_mode, cfg.epochs),
         steps_per_epoch,
         cfg.lr_decay_gamma,
         cfg.min_lr,

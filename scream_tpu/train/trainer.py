@@ -51,7 +51,7 @@ class RegistrationTrainer:
         train_cfg: TrainConfig = TrainConfig(),
         eval_cfg: EvalConfig = EvalConfig(),
         render_cfg: RenderConfig = RenderConfig(),
-        decay_mode: str = "every15",
+        decay_mode: Optional[str] = None,
         checkpoint_dir: Optional[str] = None,
         logger: Optional[MetricsLogger] = None,
         val_use_icp: bool = False,
@@ -312,7 +312,7 @@ class DEMTrainer:
         self.logger = logger or MetricsLogger()
 
         steps_per_epoch = max(len(train_loader), 1)
-        self.optimizer = optim.generator_optimizer(train_cfg, steps_per_epoch, "every15")
+        self.optimizer = optim.generator_optimizer(train_cfg, steps_per_epoch)
         self.use_gan = train_cfg.use_gan
         self.disc = PatchDiscriminator(input_nc=2) if self.use_gan else None
         self.disc_optimizer = (

@@ -347,3 +347,46 @@ class TestAugmentationRNG:
         e0 = ds[0]["src"]
         e1 = ds[0]["src"]  # second visit = next epoch
         assert not np.array_equal(e0, e1)
+
+
+class TestCanonicalSizes:
+    def test_truncated_split_warns(self, tmp_path):
+        from scream_tpu.data.datasets import PairDataset
+
+        d = tmp_path / "3DMatch_test"
+        d.mkdir()
+        for i in range(2):  # canonical size is 1,253
+            np.save(d / f"src{i}.npy", np.zeros((4, 3), np.float32))
+            np.save(d / f"tgt{i}.npy", np.zeros((4, 3), np.float32))
+            np.save(d / f"T{i}.npy", np.eye(4, dtype=np.float32))
+        with pytest.warns(UserWarning, match="truncated"):
+            PairDataset(str(tmp_path), "3DMatch_test")
+
+    def test_noncanonical_split_silent(self, tmp_path):
+        import warnings as _w
+
+        from scream_tpu.data.datasets import PairDataset
+
+        d = tmp_path / "my_custom_split"
+        d.mkdir()
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            PairDataset(str(tmp_path), "my_custom_split")
+
+
+class TestKittiAugmentConvention:
+    def test_extrinsic_zyx_matches_scipy(self):
+        """The KITTI augmentation rotation is scipy's extrinsic 'zyx'
+        (`/root/reference/datasets/kitti.py:164-165`), i.e. Rx @ Ry @ Rz."""
+        from scipy.spatial.transform import Rotation
+
+        from scream_tpu.data.raw import extrinsic_zyx_rotation
+
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            e = rng.random(3) * 2 * np.pi
+            np.testing.assert_allclose(
+                extrinsic_zyx_rotation(e),
+                Rotation.from_euler("zyx", e).as_matrix(),
+                atol=1e-12,
+            )
