@@ -365,6 +365,16 @@ def cmd_preprocess(args):
                          "converted arrays)")
 
 
+def cmd_convert(args):
+    from scream_tpu.utils.torch_convert import convert_torch_checkpoint
+
+    tree = convert_torch_checkpoint(args.pth, args.out, model=args.model)
+    import jax
+
+    n = sum(x.size for x in jax.tree_util.tree_leaves(tree))
+    print(json.dumps({"out": args.out, "model": args.model, "n_params": int(n)}))
+
+
 def cmd_bench(args):
     import bench
 
@@ -494,6 +504,18 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("bench", help="run the throughput benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    c = sub.add_parser(
+        "convert",
+        help="reference .pth checkpoint -> orbax params directory",
+    )
+    c.add_argument("--pth", required=True,
+                   help="e.g. params/point-generator.pth from the reference")
+    c.add_argument("--out", required=True, help="orbax output directory")
+    c.add_argument("--model", choices=["point", "dem", "disc"], default="point",
+                   help="point (point/kitti-generator), dem (dem-generator), "
+                        "disc (discriminator)")
+    c.set_defaults(fn=cmd_convert)
 
     v = sub.add_parser("visualize", help="render a pair to PNGs")
     v.add_argument("--root", default="data")
