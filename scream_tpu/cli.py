@@ -129,12 +129,28 @@ def _apply_model_overrides(model_cfg, args):
         over["self_layers"] = args.self_layers
     if getattr(args, "cross_layers", None):
         over["cross_layers"] = args.cross_layers
+    if getattr(args, "dtype", None):
+        over["dtype"] = args.dtype
     return dataclasses.replace(model_cfg, **over) if over else model_cfg
+
+
+def _parse_mesh(args):
+    """``--mesh data=N[,seq=M]`` -> Mesh (or None when the flag is absent)."""
+    spec = getattr(args, "mesh", None)
+    if not spec:
+        return None
+    from scream_tpu.parallel import parse_mesh_spec
+
+    return parse_mesh_spec(spec)
 
 
 def cmd_train(args):
     model_cfg, train_cfg, data_cfg, eval_cfg = TASKS[args.task]()
     model_cfg = _apply_model_overrides(model_cfg, args)
+    mesh = _parse_mesh(args)
+    if mesh is not None and args.batch_size is None:
+        # A sensible default: keep the reference per-device batch of 8.
+        args.batch_size = 8 * mesh.shape["data"]
     if args.max_points:
         data_cfg = dataclasses.replace(data_cfg, max_points=args.max_points)
     if args.epochs:
@@ -177,7 +193,7 @@ def cmd_train(args):
                                       shuffle=sh, drop_last=sh)
         trainer = DEMTrainer(mk(tr_ds, True), mk(va_ds, False),
                              model_cfg=model_cfg, train_cfg=train_cfg,
-                             checkpoint_dir=args.checkpoint_dir)
+                             checkpoint_dir=args.checkpoint_dir, mesh=mesh)
     else:
         from scream_tpu.train import RegistrationTrainer
 
@@ -190,6 +206,7 @@ def cmd_train(args):
             model_cfg=model_cfg, train_cfg=train_cfg, eval_cfg=eval_cfg,
             checkpoint_dir=args.checkpoint_dir,
             sample_img_dir=args.sample_img_dir,
+            mesh=mesh,
         )
     trainer.init()
     final = trainer.fit(profile_dir=args.profile_dir)
@@ -256,6 +273,7 @@ def cmd_evaluate(args):
     if over:
         eval_cfg = dataclasses.replace(eval_cfg, **over)
     model_cfg = _apply_model_overrides(model_cfg, args)
+    mesh = _parse_mesh(args)
     if args.max_points:
         data_cfg = dataclasses.replace(data_cfg, max_points=args.max_points)
     split, normalize = EVAL_SPLITS[args.protocol]
@@ -292,7 +310,7 @@ def cmd_evaluate(args):
                            dem_capacity=cap, coarse_capacity=max(cap // 8, 64))
         batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
         apply_fn, params = _load_model_params("opengf", model_cfg, args.params, batch)
-        out = protocols.evaluate_open_gf(apply_fn, params, loader)
+        out = protocols.evaluate_open_gf(apply_fn, params, loader, mesh=mesh)
     else:
         if os.path.isdir(os.path.join(root, split)):
             ds = PairDataset(root, split, normalize=normalize,
@@ -324,9 +342,11 @@ def cmd_evaluate(args):
                 success_re_deg=eval_cfg.success_re_deg,
                 success_te=eval_cfg.success_te,
                 center_mode=eval_cfg.center_mode,
+                mesh=mesh,
             )
         else:
-            out = protocols.evaluate_registration(apply_fn, params, loader, eval_cfg)
+            out = protocols.evaluate_registration(apply_fn, params, loader,
+                                                  eval_cfg, mesh=mesh)
     print(json.dumps({k: v for k, v in out.items()}, default=float))
 
 
@@ -373,6 +393,12 @@ def cmd_convert(args):
 
     n = sum(x.size for x in jax.tree_util.tree_leaves(tree))
     print(json.dumps({"out": args.out, "model": args.model, "n_params": int(n)}))
+
+
+def cmd_selftest_tpu(args):
+    from scream_tpu.selftest import main as selftest_main
+
+    raise SystemExit(selftest_main())
 
 
 def cmd_bench(args):
@@ -466,6 +492,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--d-model", type=int, default=None)
     t.add_argument("--self-layers", type=int, default=None)
     t.add_argument("--cross-layers", type=int, default=None)
+    t.add_argument("--mesh", default=None,
+                   help="multi-chip mesh, e.g. 'data=8', 'data=4,seq=2' or "
+                        "'auto' (all chips on the data axis); batches shard "
+                        "over chips, gradients all-reduce over ICI")
+    t.add_argument("--dtype", choices=["bfloat16", "float32"], default=None,
+                   help="compute dtype override (bf16 is the TPU default)")
     t.add_argument("--profile-dir", default=None,
                    help="capture an XLA trace of the first epoch here")
     t.add_argument("--sample-img-dir", default=None,
@@ -494,6 +526,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ICP iteration cap (30 for 3DMatch, 1000 for KITTI)")
     e.add_argument("--re-stat", choices=["median", "mean"], default=None,
                    help="per-scene RE/TE statistic")
+    e.add_argument("--mesh", default=None,
+                   help="multi-chip mesh for eval, e.g. 'data=8' or 'auto'")
+    e.add_argument("--dtype", choices=["bfloat16", "float32"], default=None,
+                   help="compute dtype override")
     e.set_defaults(fn=cmd_evaluate)
 
     pr = sub.add_parser("preprocess", help="raw data -> .npy artifacts")
@@ -504,6 +540,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("bench", help="run the throughput benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    st = sub.add_parser(
+        "selftest-tpu",
+        help="compiled Pallas kernels vs XLA on the real TPU backend "
+             "(one JSON line; nonzero exit on mismatch)",
+    )
+    st.set_defaults(fn=cmd_selftest_tpu)
 
     c = sub.add_parser(
         "convert",

@@ -279,12 +279,15 @@ def _default_size_fn(dataset, i):
     return len(item["src"]), len(item["tgt"])
 
 
-def prefetch_to_device(iterator, size: int = 2):
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
     """Asynchronously stage host batches on the device, ``size`` ahead.
 
     ``jax.device_put`` is async — dispatching the transfer for batch i+1
     while batch i computes hides the host->device copy (substantial when the
-    device link is slow). Yields dicts of device arrays.
+    device link is slow). Yields dicts of device arrays. ``sharding``: an
+    optional per-array placement (e.g. `parallel.batch_sharding(mesh)`) so
+    multi-chip batches land sharded straight from the host instead of via a
+    device-0 bounce + reshard.
     """
     import collections
 
@@ -295,7 +298,9 @@ def prefetch_to_device(iterator, size: int = 2):
     def stage(batch):
         # One async dispatch per array: device_put on the host array IS the
         # transfer (wrapping it in jnp.asarray would transfer twice).
-        return {k: jax.device_put(v) for k, v in batch.items()}
+        if sharding is None:
+            return {k: jax.device_put(v) for k, v in batch.items()}
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
     it = iter(iterator)
     try:

@@ -59,10 +59,29 @@ class SkipDataset:
         return self._dataset, self._index[i]
 
 
-def _to_device(batch, skip=("idx", "scene")):
+def _to_device(batch, skip=("idx", "scene"), mesh=None):
     """Ship a batch to device, leaving host-only sidecars (consumed from the
-    numpy batch for bookkeeping) off the device and out of the jit."""
-    return {k: jnp.asarray(v) for k, v in batch.items() if k not in skip}
+    numpy batch for bookkeeping) off the device and out of the jit. With a
+    mesh, arrays shard over the ``data`` axis (multi-chip eval); a trailing
+    batch whose size does not divide the axis falls back to single-device."""
+    arrays = {k: jnp.asarray(v) for k, v in batch.items() if k not in skip}
+    if mesh is not None:
+        from scream_tpu.parallel.mesh import shard_batch
+
+        b = next(iter(arrays.values())).shape[0]
+        if b % mesh.shape["data"] == 0:
+            return shard_batch(arrays, mesh)
+    return arrays
+
+
+def _replicate_params(params, mesh):
+    if mesh is None or params is None:
+        return params
+    import jax
+
+    from scream_tpu.parallel.mesh import replicated
+
+    return jax.device_put(params, replicated(mesh))
 
 
 def evaluate_registration_per_scene(
@@ -77,6 +96,7 @@ def evaluate_registration_per_scene(
     rmse_thresh: float = 0.2,
     center_mode: str = "trans",
     n_scenes: int = 8,
+    mesh=None,
 ) -> Dict[str, float]:
     """The 3DMatch-family benchmark with per-scene aggregation.
 
@@ -125,10 +145,11 @@ def evaluate_registration_per_scene(
 
     # Lag-1 pipeline: dispatch the next batch before fetching the previous
     # result, so the host fetch overlaps device compute.
+    params = _replicate_params(params, mesh)
     pending = None
     for batch in loader:
         m = register_batch(
-            apply_fn, params, _to_device(batch),
+            apply_fn, params, _to_device(batch, mesh=mesh),
             dis_thresh=dis_thresh, corr=corr,
             icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
             center_mode=center_mode,
@@ -166,19 +187,21 @@ def evaluate_registration_per_scene(
     return out
 
 
-def evaluate_registration(apply_fn, params, loader, cfg: EvalConfig) -> Dict[str, float]:
+def evaluate_registration(apply_fn, params, loader, cfg: EvalConfig,
+                          mesh=None) -> Dict[str, float]:
     """Config-driven entry: every `EvalConfig` knob is honored.
 
     This is what the CLI calls (with `config.eval_preset(protocol)`), so a
     user editing ``rmse_thresh``/``re_stat``/``corr``/ICP settings changes
-    the protocol rather than being silently ignored.
+    the protocol rather than being silently ignored. ``mesh`` shards eval
+    batches over the data axis (CLI ``--mesh data=N``).
     """
     return evaluate_registration_per_scene(
         apply_fn, params, loader,
         dis_thresh=cfg.dis_thresh, corr=cfg.corr,
         icp_thresh=cfg.icp_thresh, icp_max_iter=cfg.icp_max_iter,
         re_stat=cfg.re_stat, rmse_thresh=cfg.rmse_thresh,
-        center_mode=cfg.center_mode,
+        center_mode=cfg.center_mode, mesh=mesh,
     )
 
 
@@ -219,6 +242,7 @@ def evaluate_kitti(
     success_re_deg: float = 5.0,
     success_te: float = 2.0,
     center_mode: str = "neg_rt",
+    mesh=None,
 ) -> Dict[str, float]:
     """KITTI success-rate protocol (`/root/reference/evaluate_kitti.py:20-111`).
 
@@ -240,10 +264,11 @@ def evaluate_kitti(
         succ_re += float(re[ok].sum())
         succ_te += float(te[ok].sum())
 
+    params = _replicate_params(params, mesh)
     pending = None
     for batch in loader:
         m = register_batch(
-            apply_fn, params, _to_device(batch),
+            apply_fn, params, _to_device(batch, mesh=mesh),
             dis_thresh=dis_thresh, corr="tgt",
             icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
             center_mode=center_mode,
@@ -261,15 +286,16 @@ def evaluate_kitti(
     }
 
 
-def evaluate_open_gf(apply_fn, params, loader) -> Dict[str, float]:
+def evaluate_open_gf(apply_fn, params, loader, mesh=None) -> Dict[str, float]:
     """OpenGF DEM-generation metrics x1000
     (`/root/reference/evaluate_open_gf.py:44-76`)."""
     from scream_tpu.geometry.metrics import chamfer_distance, height_mae, height_mse
 
     tot_cd, tot_mae, tot_mse, n = 0.0, 0.0, 0.0, 0
+    params = _replicate_params(params, mesh)
 
     def _dispatch(batch):
-        dev = _to_device(batch)
+        dev = _to_device(batch, mesh=mesh)
         dem_pred = apply_fn(
             params, dev["dsm"], dev["dem_coarse"],
             dev["dsm_mask"], dev["dem_coarse_mask"],

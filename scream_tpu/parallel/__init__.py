@@ -4,12 +4,14 @@ expert parallelism (the reference has none of these — SURVEY.md §2.5)."""
 from scream_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    parse_mesh_spec,
     replicate,
     replicated,
     shard_batch,
 )
 from scream_tpu.parallel.dp import (
     data_parallel_apply,
+    data_parallel_arrays_step,
     data_parallel_step,
     data_seq_parallel_step,
 )
@@ -35,10 +37,12 @@ from scream_tpu.parallel.ep import (
 __all__ = [
     "batch_sharding",
     "make_mesh",
+    "parse_mesh_spec",
     "replicate",
     "replicated",
     "shard_batch",
     "data_parallel_apply",
+    "data_parallel_arrays_step",
     "data_parallel_step",
     "data_seq_parallel_step",
     "sequence_parallel_linear_attention",

@@ -48,6 +48,23 @@ def data_parallel_apply(apply_fn: Callable, mesh: Mesh) -> Callable:
     return wrapped
 
 
+def data_parallel_arrays_step(step_fn: Callable, mesh: Mesh) -> Callable:
+    """DP constraint for a jitted ``step(state, *arrays)`` (positional-array
+    signature, e.g. the discriminator step): state replicated, every array
+    sharded on its leading (batch) axis."""
+    rep = replicated(mesh)
+    sh = batch_sharding(mesh)
+
+    def wrapped(state, *arrays):
+        state = jax.device_put(state, rep)
+        arrays = tuple(
+            jax.device_put(a, sh) if a is not None else None for a in arrays
+        )
+        return step_fn(state, *arrays)
+
+    return wrapped
+
+
 def data_seq_parallel_step(step_fn: Callable, mesh: Mesh,
                            seq_keys=("src", "tgt", "src_mask", "tgt_mask")) -> Callable:
     """2-D (data x seq) constraint for a jitted ``step(state, batch, ...)``.

@@ -45,14 +45,49 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // (n_seq * n_model)
-    assert n_data * n_seq * n_model == len(devices), (
-        f"mesh {n_data}x{n_seq}x{n_model} != {len(devices)} devices"
-    )
+    need = n_data * n_seq * n_model
+    if need > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_seq}x{n_model} needs {need} devices, "
+            f"found {len(devices)}"
+        )
+    # An explicit smaller mesh uses the leading device subset (e.g.
+    # `--mesh data=4` on an 8-chip host trains on 4 chips).
+    devices = devices[:need]
     if n_model > 1:
         arr = np.asarray(devices).reshape(n_data, n_seq, n_model)
         return Mesh(arr, ("data", "seq", "model"))
     arr = np.asarray(devices).reshape(n_data, n_seq)
     return Mesh(arr, ("data", "seq"))
+
+
+def parse_mesh_spec(spec: str, devices: Optional[Sequence] = None) -> Mesh:
+    """Parse the CLI mesh flag: ``"data=4"``, ``"data=4,seq=2"``, ``"auto"``.
+
+    ``auto`` puts every device on the data axis; ``data`` may be omitted when
+    ``seq`` is given (the remainder of the device count is used). This is the
+    single user-facing knob behind ``python -m scream_tpu train ... --mesh``.
+    """
+    if spec in ("auto", "all"):
+        return make_mesh(devices=devices)
+    kv = {}
+    for part in spec.split(","):
+        if "=" not in part:
+            raise ValueError(
+                f"bad mesh spec {spec!r}: expected comma-separated axis=N "
+                "entries, e.g. 'data=4' or 'data=4,seq=2'"
+            )
+        k, v = part.split("=", 1)
+        kv[k.strip()] = int(v)
+    n_data = kv.pop("data", None)
+    n_seq = kv.pop("seq", 1)
+    if kv:
+        raise ValueError(
+            f"unknown mesh axes {sorted(kv)} in {spec!r}; the trainer path "
+            "supports data and seq (tensor/pipeline/expert parallelism are "
+            "library APIs, scream_tpu.parallel)"
+        )
+    return make_mesh(n_data=n_data, n_seq=n_seq, devices=devices)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

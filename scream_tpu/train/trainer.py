@@ -36,8 +36,46 @@ from scream_tpu.utils.checkpoint import BestCheckpointer
 from scream_tpu.utils.logging import MetricsLogger
 
 
-def _to_device(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
-    return {k: jnp.asarray(v) for k, v in batch.items()}
+def _to_device(batch: Dict[str, np.ndarray], mesh=None) -> Dict[str, jnp.ndarray]:
+    """Host batch -> device arrays; batch-sharded over the mesh's data axis
+    when a mesh is given and the batch size divides it (a trailing partial
+    batch falls back to single-device placement — same shapes, so no extra
+    compilation beyond the sharding variant)."""
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+    if mesh is not None:
+        from scream_tpu.parallel.mesh import shard_batch
+
+        b = next(iter(arrays.values())).shape[0]
+        if b % mesh.shape["data"] == 0:
+            return shard_batch(arrays, mesh)
+    return arrays
+
+
+def _wrap_steps_for_mesh(trainer, mesh) -> None:
+    """Wrap a trainer's jitted steps for the mesh: DP (data) or 2-D DP x SP
+    (data x seq) for the generator step, DP for the discriminator step.
+
+    This is the one-flag multi-chip path (`--mesh data=N[,seq=M]`): params
+    and optimizer state replicate, batches shard, XLA inserts the gradient
+    all-reduce over ICI (`scream_tpu/parallel/dp.py`).
+    """
+    if mesh is None:
+        return
+    from scream_tpu.parallel import (
+        data_parallel_arrays_step,
+        data_parallel_step,
+        data_seq_parallel_step,
+    )
+
+    seq = mesh.shape.get("seq", 1) if "seq" in mesh.axis_names else 1
+    if seq > 1:
+        trainer.train_step = data_seq_parallel_step(
+            trainer.train_step, mesh, seq_keys=trainer._seq_keys
+        )
+    else:
+        trainer.train_step = data_parallel_step(trainer.train_step, mesh)
+    if trainer.disc_step is not None:
+        trainer.disc_step = data_parallel_arrays_step(trainer.disc_step, mesh)
 
 
 class RegistrationTrainer:
@@ -56,9 +94,11 @@ class RegistrationTrainer:
         logger: Optional[MetricsLogger] = None,
         val_use_icp: bool = False,
         sample_img_dir: Optional[str] = None,
+        mesh=None,
     ):
         self.train_loader = train_loader
         self.val_loader = val_loader
+        self.mesh = mesh
         self.model_cfg = dataclasses.replace(model_cfg, remat=model_cfg.remat)
         self.train_cfg = train_cfg
         self.eval_cfg = eval_cfg
@@ -88,6 +128,10 @@ class RegistrationTrainer:
             if self.use_gan
             else None
         )
+        # Cloud coordinate/mask entries whose axis 1 is the point dimension
+        # (sharded over the seq axis under a 2-D mesh).
+        self._seq_keys = ("src", "tgt", "src_mask", "tgt_mask")
+        _wrap_steps_for_mesh(self, mesh)
         mode = "max" if train_cfg.checkpoint_metric == "success_rate" else "min"
         self.checkpointer = (
             BestCheckpointer(checkpoint_dir, mode=mode) if checkpoint_dir else None
@@ -160,9 +204,14 @@ class RegistrationTrainer:
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         from scream_tpu.data.loader import prefetch_to_device
 
+        sharding = None
+        if self.mesh is not None:
+            from scream_tpu.parallel.mesh import batch_sharding
+
+            sharding = batch_sharding(self.mesh)
         sums: Dict[str, float] = {}
         count = 0
-        for batch in prefetch_to_device(self.train_loader):
+        for batch in prefetch_to_device(self.train_loader, sharding=sharding):
             disc_vars = self.disc_state.variables if self.use_gan else None
             self.state, metrics, fake = self.train_step(self.state, batch, disc_vars)
             if self.use_gan:
@@ -232,7 +281,7 @@ class RegistrationTrainer:
         tot_loss, tot_re, tot_te, n = 0.0, 0.0, 0.0, 0
         succ, succ_re, succ_te = 0, 0.0, 0.0
         for batch in self.val_loader:
-            batch = _to_device(batch)
+            batch = _to_device(batch, self.mesh)
             loss = self._val_loss_jit(self.state.params, batch)
             m = register_batch(
                 self._apply_fn, self.state.params, batch,
@@ -303,9 +352,11 @@ class DEMTrainer:
         render_cfg: RenderConfig = RenderConfig(multi_view=False),
         checkpoint_dir: Optional[str] = None,
         logger: Optional[MetricsLogger] = None,
+        mesh=None,
     ):
         self.train_loader = train_loader
         self.val_loader = val_loader
+        self.mesh = mesh
         self.model = DEMTransformer(model_cfg)
         self.train_cfg = train_cfg
         self.render_cfg = render_cfg
@@ -330,6 +381,9 @@ class DEMTrainer:
             if self.use_gan
             else None
         )
+        self._seq_keys = ("dsm", "dem", "dem_coarse", "dsm_mask", "dem_mask",
+                          "dem_coarse_mask")
+        _wrap_steps_for_mesh(self, mesh)
         self.checkpointer = (
             BestCheckpointer(checkpoint_dir, mode="min") if checkpoint_dir else None
         )
@@ -370,9 +424,14 @@ class DEMTrainer:
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         from scream_tpu.data.loader import prefetch_to_device
 
+        sharding = None
+        if self.mesh is not None:
+            from scream_tpu.parallel.mesh import batch_sharding
+
+            sharding = batch_sharding(self.mesh)
         sums: Dict[str, float] = {}
         count = 0
-        for batch in prefetch_to_device(self.train_loader):
+        for batch in prefetch_to_device(self.train_loader, sharding=sharding):
             disc_vars = self.disc_state.variables if self.use_gan else None
             self.state, metrics, fake = self.train_step(self.state, batch, disc_vars)
             if self.use_gan:
@@ -409,7 +468,7 @@ class DEMTrainer:
 
         tot_cd, tot_h, n = 0.0, 0.0, 0
         for batch in self.val_loader:
-            batch = _to_device(batch)
+            batch = _to_device(batch, self.mesh)
             cd, h = self._val_metrics_jit(self.state.params, batch)
             b = cd.shape[0]
             tot_cd += float(jnp.sum(cd))

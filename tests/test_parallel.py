@@ -25,8 +25,13 @@ class TestMesh:
         assert m.shape["data"] == 8 and m.shape["seq"] == 1
         m2 = make_mesh(n_data=4, n_seq=2)
         assert m2.shape["data"] == 4 and m2.shape["seq"] == 2
-        with pytest.raises(AssertionError):
-            make_mesh(n_data=3, n_seq=2)
+        # An explicit smaller mesh uses the leading device subset
+        # (`--mesh data=3,seq=2` on an 8-chip host runs on 6 chips)...
+        m3 = make_mesh(n_data=3, n_seq=2)
+        assert m3.devices.size == 6
+        # ...but asking for more devices than exist fails loudly.
+        with pytest.raises(ValueError, match="needs 10 devices"):
+            make_mesh(n_data=5, n_seq=2)
 
     def test_shard_batch_divisibility(self):
         m = make_mesh()
