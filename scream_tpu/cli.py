@@ -380,9 +380,39 @@ def cmd_preprocess(args):
             n = pp.save_train_split(pairs, os.path.join(args.out, out_split))
             print(f"{out_split}: {n} pairs")
     else:
-        raise SystemExit("preprocess supports: 3dmatch, kitti (OpenGF: use "
-                         "scream_tpu.data.preprocess.tile_opengf_scene on your .laz-"
-                         "converted arrays)")
+        # OpenGF: .las/.laz scenes -> tiled [dsm | dem] patches
+        # (`/root/reference/process_open_gf.py:13-261`). The canonical
+        # S7/S8/S9 file names are tried first; otherwise every .las/.laz
+        # under <root>/<split>/ is ingested.
+        import glob
+
+        from scream_tpu.data import las
+
+        for split, canonical, stride, centers in (
+            ("train", las.OPENGF_TRAIN_FILES, pp.OPENGF_TRAIN_STRIDE, False),
+            ("val", las.OPENGF_VAL_FILES, None, False),
+            ("test", las.OPENGF_TEST_FILES, None, True),
+        ):
+            paths = las._existing(args.root, canonical)
+            if not paths:
+                paths = sorted(
+                    glob.glob(os.path.join(args.root, split, "*.la[sz]"))
+                )
+            if not paths:
+                print(f"skip OpenGF_{split}: no .las/.laz under "
+                      f"{os.path.join(args.root, split)}")
+                continue
+
+            def patches():
+                for p in paths:
+                    pts, cls = las.read_opengf_cloud(p)
+                    yield from pp.tile_opengf_scene(pts, cls, stride=stride)
+
+            n = pp.save_opengf_split(
+                patches(), os.path.join(args.out, f"OpenGF_{split}"),
+                save_centers=centers,
+            )
+            print(f"OpenGF_{split}: {n} patches from {len(paths)} scenes")
 
 
 def cmd_convert(args):
