@@ -193,7 +193,8 @@ def cmd_train(args):
                                       shuffle=sh, drop_last=sh)
         trainer = DEMTrainer(mk(tr_ds, True), mk(va_ds, False),
                              model_cfg=model_cfg, train_cfg=train_cfg,
-                             checkpoint_dir=args.checkpoint_dir, mesh=mesh)
+                             checkpoint_dir=args.checkpoint_dir, mesh=mesh,
+                             sample_img_dir=args.sample_img_dir)
     else:
         from scream_tpu.train import RegistrationTrainer
 
@@ -483,23 +484,47 @@ def cmd_visualize(args):
         apply_fn, params = _load_model_params("3dmatch", model_cfg, args.params, dev)
         src_pred = apply_fn(params, dev["src"], dev["tgt"], dev["src_mask"],
                             dev["tgt_mask"], jnp.swapaxes(dev["trans"], -1, -2))
-        m = register_batch(apply_fn, params, dev, dis_thresh=0.09, corr="tgt",
+        zero = args.mode == "zero"
+        # Zero-overlap protocol: corr = src_pred itself, thresh 0.2
+        # (`/root/reference/evaluate_3d_match.py:193-195`).
+        m = register_batch(apply_fn, params, dev,
+                           dis_thresh=0.2 if zero else 0.09,
+                           corr="src_pred" if zero else "tgt",
                            icp_thresh=0.2, icp_max_iter=20)
         n = int(np.asarray(dev["src_mask"][0]).sum())
         pred = np.asarray(src_pred[0])[:n]
         gt_pos = np.asarray(dev["src"][0])[:n] @ item["rot"].T + item["trans"].reshape(3)
-        out["predicted"] = stem + "_predicted.png"
-        out["estimated"] = stem + "_estimated.png"
-        out["pred_error"] = stem + "_pred_error.png"
-        viz.plot_registration(item["src"], item["tgt"], None, src_pred=pred,
-                              path=out["predicted"])
-        viz.plot_registration(np.asarray(dev["src"][0])[:n],
-                              np.asarray(dev["tgt"][0])[:int(np.asarray(dev["tgt_mask"][0]).sum())],
-                              np.asarray(m.transform[0]), path=out["estimated"])
-        viz.plot_prediction_error(pred, gt_pos, tgt=item["tgt"],
-                                  path=out["pred_error"])
         out["re_deg"] = float(m.re_deg[0])
         out["te"] = float(m.te[0])
+        # The ZERO-match flow only shows pairs with RE < 3 — worse
+        # registrations "don't look good" even under the RMSE<0.2 recall bar
+        # (`/root/reference/visualize_3d_match.py:117`); the match flow shows
+        # every pair unconditionally (`:183-188`).
+        gated = zero and out["re_deg"] >= args.re_gate
+        out["display_gated"] = gated
+        if not gated:
+            out["predicted"] = stem + "_predicted.png"
+            out["estimated"] = stem + "_estimated.png"
+            out["pred_error"] = stem + "_pred_error.png"
+            viz.plot_registration(item["src"], item["tgt"], None, src_pred=pred,
+                                  path=out["predicted"])
+            viz.plot_registration(np.asarray(dev["src"][0])[:n],
+                                  np.asarray(dev["tgt"][0])[:int(np.asarray(dev["tgt_mask"][0]).sum())],
+                                  np.asarray(m.transform[0]), path=out["estimated"])
+            viz.plot_prediction_error(pred, gt_pos, tgt=item["tgt"],
+                                      path=out["pred_error"])
+            if zero:
+                # Zero-match "flow lines" + the selected correspondence
+                # subset (`/root/reference/visualize_3d_match.py:98-116`).
+                from scream_tpu.geometry.pairwise import square_distance
+
+                d2 = np.asarray(square_distance(
+                    src_pred[:, :n], dev["tgt"][:, :int(np.asarray(dev["tgt_mask"][0]).sum())]
+                )[0].min(axis=-1))
+                selected = d2 < 0.2
+                out["flow"] = stem + "_flow.png"
+                viz.plot_prediction_flow(np.asarray(dev["src"][0])[:n], pred,
+                                         selected=selected, path=out["flow"])
     print(json.dumps(out))
 
 
@@ -596,6 +621,12 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--item", type=int, default=0)
     v.add_argument("--out", default="viz_out")
     v.add_argument("--params", default=None, help="orbax params dir for model views")
+    v.add_argument("--mode", choices=["match", "zero"], default="match",
+                   help="zero = zero-overlap flow (corr=src_pred, flow lines)")
+    v.add_argument("--re-gate", type=float, default=3.0,
+                   help="emit model-view PNGs only when RE < this (deg), the "
+                        "reference's display gate (visualize_3d_match.py:117); "
+                        "set large to always emit")
     v.add_argument("--max-points", type=int, default=None)
     v.add_argument("--d-model", type=int, default=None)
     v.add_argument("--self-layers", type=int, default=None)

@@ -353,10 +353,12 @@ class DEMTrainer:
         checkpoint_dir: Optional[str] = None,
         logger: Optional[MetricsLogger] = None,
         mesh=None,
+        sample_img_dir: Optional[str] = None,
     ):
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.mesh = mesh
+        self.sample_img_dir = sample_img_dir
         self.model = DEMTransformer(model_cfg)
         self.train_cfg = train_cfg
         self.render_cfg = render_cfg
@@ -440,6 +442,20 @@ class DEMTrainer:
                     batch["dem_mask"], batch["dem_coarse_mask"],
                 )
                 metrics["d_loss"] = d_loss
+                # Periodic sample-image dumps — the reference emits them for
+                # OpenGF too (`/root/reference/train_open_gf.py:124-128`).
+                step_no = int(self.state.step)
+                if self.sample_img_dir and step_no % self.train_cfg.save_img_iter == 0:
+                    import os
+
+                    from scream_tpu.utils.viz import save_depth_image_grid
+
+                    os.makedirs(self.sample_img_dir, exist_ok=True)
+                    save_depth_image_grid(
+                        np.asarray(fake[0]),
+                        os.path.join(self.sample_img_dir,
+                                     f"epoch{epoch}_step{step_no}.png"),
+                    )
             count += 1
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + v

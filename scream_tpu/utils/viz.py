@@ -91,6 +91,50 @@ def plot_correspondences(
     return fig
 
 
+FLOW_COLOR = (224 / 255, 238 / 255, 238 / 255)  # the reference's line color
+
+
+def plot_prediction_flow(
+    src: np.ndarray,
+    src_pred: np.ndarray,
+    selected: Optional[np.ndarray] = None,
+    path: Optional[str] = None,
+    max_lines: int = 400,
+    point_size: float = 1.0,
+):
+    """Zero-match 'flow lines': one line from every source point to its
+    predicted position in the target frame.
+
+    The reference draws an Open3D LineSet pairing ``src_pc`` with
+    ``src_pred_pc`` point-for-point in light gray (224/238/238)
+    (`/root/reference/visualize_3d_match.py:98-110`). ``selected`` marks the
+    correspondence subset (NN distance under threshold) highlighted by the
+    'selected' window (`:115-116`).
+    """
+    fig, ax = _fig3d()
+    src = np.asarray(src)
+    pred = np.asarray(src_pred)
+    ax.scatter(*src.T, c=[SRC_COLOR], s=point_size, label="src")
+    ax.scatter(*pred.T, c=[(3 / 255, 168 / 255, 158 / 255)], s=point_size,
+               label="src_pred")
+    step = max(1, len(src) // max_lines)
+    for a, b in zip(src[::step], pred[::step]):
+        ax.plot([a[0], b[0]], [a[1], b[1]], [a[2], b[2]],
+                c=FLOW_COLOR, lw=0.4)
+    if selected is not None:
+        sel = np.asarray(selected, dtype=bool)
+        if sel.any():
+            ax.scatter(*src[sel].T, c="red", s=point_size * 3, label="selected")
+            ax.scatter(*pred[sel].T, c="darkred", s=point_size * 3)
+    ax.legend()
+    if path:
+        fig.savefig(path, dpi=120)
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+    return fig
+
+
 def depth_images_to_rgb(imgs: np.ndarray) -> np.ndarray:
     """2-channel depth image(s) -> uint8 RGB, src yellow / tgt blue.
 

@@ -241,3 +241,59 @@ def test_size_probe_does_not_materialize():
     loader = BucketedPairLoader(ds, batch_size=2, buckets=(128, 256))
     assert len(loader._assignment[128]) == 4
     assert len(loader._assignment[256]) == 3
+
+
+class TestVisualizeZeroMode:
+    def _artifacts(self, tmp_path, identity=True):
+        import numpy as np
+
+        split_dir = tmp_path / "3DZeroMatch_test"
+        split_dir.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        np.save(split_dir / "src0.npy", rng.standard_normal((40, 3)))
+        np.save(split_dir / "tgt0.npy", rng.standard_normal((50, 3)))
+        np.save(split_dir / "T0.npy", np.eye(4))
+        return split_dir
+
+    def _params(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from scream_tpu.config import ModelConfig
+        from scream_tpu.models.point_transformer import PointTransformer
+        from scream_tpu.utils.checkpoint import save_params
+
+        cfg = ModelConfig(d_model=32, num_heads=4, self_layers=1, cross_layers=1,
+                          dtype="float32")
+        params = PointTransformer(cfg).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)), jnp.zeros((1, 64, 3)),
+            jnp.ones((1, 64), bool), jnp.ones((1, 64), bool),
+            jnp.zeros((1, 1, 3)))["params"]
+        save_params(str(tmp_path / "p"), params)
+        return str(tmp_path / "p")
+
+    def test_zero_flow_emits_flow_lines(self, capsys, tmp_path):
+        """--mode zero with the gate disabled emits the flow-lines PNG
+        (`/root/reference/visualize_3d_match.py:98-110`)."""
+        self._artifacts(tmp_path)
+        p = self._params(tmp_path)
+        main(["visualize", "--root", str(tmp_path), "--split", "3DZeroMatch_test",
+              "--item", "0", "--out", str(tmp_path / "viz"), "--params", p,
+              "--max-points", "64", "--d-model", "32", "--self-layers", "1",
+              "--cross-layers", "1", "--mode", "zero", "--re-gate", "1e9"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert not out["display_gated"]
+        assert os.path.getsize(out["flow"]) > 0
+
+    def test_zero_flow_re_gate_suppresses_pngs(self, capsys, tmp_path):
+        """A random-weight model registers badly; the reference's RE<3 gate
+        (`visualize_3d_match.py:117`) must suppress the model-view PNGs."""
+        self._artifacts(tmp_path)
+        p = self._params(tmp_path)
+        main(["visualize", "--root", str(tmp_path), "--split", "3DZeroMatch_test",
+              "--item", "0", "--out", str(tmp_path / "viz2"), "--params", p,
+              "--max-points", "64", "--d-model", "32", "--self-layers", "1",
+              "--cross-layers", "1", "--mode", "zero", "--re-gate", "0.0001"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["display_gated"]
+        assert "flow" not in out and "predicted" not in out

@@ -272,3 +272,39 @@ class TestDecayModeConfig:
         # An explicit override still wins (legacy call sites).
         optim.generator_optimizer(TrainConfig(epochs=45), 10, "every15")
         assert seen["mode"] == "every15"
+
+
+class TestDEMGanSampleDumps:
+    def test_png_emitted(self, tmp_path):
+        """DEMTrainer dumps GAN sample images like the reference's OpenGF
+        loop (`/root/reference/train_open_gf.py:124-128`)."""
+        import os
+
+        from scream_tpu.data import DEMLoader
+        from scream_tpu.data.synthetic import make_dem_patch
+
+        class DemDs:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                return make_dem_patch(np.random.default_rng(i), n_dsm=48, n_dem=48)
+
+        mk = lambda: DEMLoader(DemDs(), batch_size=2, dsm_capacity=48,
+                               dem_capacity=48, coarse_capacity=16,
+                               num_workers=0)
+        img_dir = tmp_path / "samples"
+        tr = DEMTrainer(
+            mk(), mk(),
+            model_cfg=ModelConfig(d_model=32, num_heads=4, self_layers=1,
+                                  cross_layers=1, dtype="float32",
+                                  separate_stems=True),
+            train_cfg=TrainConfig(epochs=2, use_gan=True, save_img_iter=1),
+            render_cfg=RenderConfig(rho=6.0, width=32, multi_view=False),
+            sample_img_dir=str(img_dir),
+        )
+        tr.init()
+        m = tr.train_epoch(1)
+        assert np.isfinite(m["d_loss"])
+        pngs = [f for f in os.listdir(img_dir) if f.endswith(".png")]
+        assert pngs, "no GAN sample image dumped"
