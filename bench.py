@@ -14,12 +14,25 @@ pairs/sec/chip (BASELINE.json). Prints ONE JSON line:
 ``python bench.py --suite`` additionally times the other BASELINE.json
 workload classes (KITTI-sized clouds, the OpenGF DEM forward, the
 adversarial training step) and prints one JSON line each to stderr.
+``--breakdown`` adds the step breakdown (forward / solve / ICP shares) and
+an analytic-FLOPs MFU figure at the headline operating point.
+``--write PATH`` persists every emitted metric to a JSON file
+(regenerate docs/bench_results.json with
+``python bench.py --suite --breakdown --write docs/bench_results.json``).
 """
 
 import json
 import os
 import sys
 import time
+
+# Every emitted metric also lands here so --write can persist the full run.
+RESULTS = []
+
+
+def _emit(record, stream=None):
+    RESULTS.append(record)
+    print(json.dumps(record), file=stream or sys.stderr)
 
 BASELINE_PAIRS_PER_SEC = 50.0  # north-star target, BASELINE.json
 # Env overrides exist for the test-suite smoke path only; the driver runs
@@ -117,6 +130,7 @@ def main():
         "unit": "pairs/sec",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
     }
+    RESULTS.append(result)
     print(json.dumps(result))
     print(
         f"# backend={jax.default_backend()} batch={BATCH} n_points={N_POINTS} "
@@ -143,11 +157,8 @@ def main():
         pending = nxt
     np.asarray(pending.transform)
     sub_pps = BATCH * ITERS / (time.time() - t0)
-    print(
-        json.dumps({"metric": "3dmatch_registration_pairs_per_sec_icp_subsampled",
-                    "value": round(sub_pps, 2), "unit": "pairs/sec"}),
-        file=sys.stderr,
-    )
+    _emit({"metric": "3dmatch_registration_pairs_per_sec_icp_subsampled",
+           "value": round(sub_pps, 2), "unit": "pairs/sec"})
 
 
 def _timed(fn, make_input, iters=6):
@@ -188,8 +199,7 @@ def suite():
     host = np.random.default_rng(0)
 
     def emit(metric, value, unit):
-        print(json.dumps({"metric": metric, "value": round(value, 2),
-                          "unit": unit}), file=sys.stderr)
+        _emit({"metric": metric, "value": round(value, 2), "unit": unit})
 
     # --- KITTI-sized registration (voxel 0.7 -> ~8k pts, thresholds 1.5/1.0) ---
     B, NP = 8, 8192
@@ -290,7 +300,120 @@ def suite():
          "pairs/sec")
 
 
+def _forward_flops(n_src, n_tgt, d=256, self_layers=6, cross_layers=6,
+                   head_dim=32):
+    """Analytic FLOPs of one PointTransformer forward pass (one pair).
+
+    Dense d->d on one token = 2 d^2 FLOPs. Per self block per token:
+    q/k/v/merge 8 d^2 + FFN 16 d^2 = 24 d^2 (+ ~6 d*head_dim linear-attention
+    einsums, which are negligible but counted). The shared stems process both
+    clouds; the cross stage runs on src with k/v projections over tgt.
+    """
+    per_tok_self = 24 * d * d + 6 * d * head_dim
+    stems = self_layers * (n_src + n_tgt) * per_tok_self
+    cross_self = cross_layers * n_src * per_tok_self
+    cross_attn = cross_layers * (
+        n_src * (20 * d * d + 6 * d * head_dim) + n_tgt * 4 * d * d
+    )
+    embed = (n_src + n_tgt) * 2 * 3 * d
+    head = n_src * (4 * d * d + 2 * 3 * d)
+    return stems + cross_self + cross_attn + embed + head
+
+
+# TPU v5e peak bf16 matmul throughput (public spec).
+V5E_PEAK_BF16_FLOPS = 197e12
+
+
+def breakdown():
+    """Step breakdown at the headline operating point: forward / pose solve /
+    ICP wall-clock shares per batch, plus an analytic-FLOPs MFU figure for
+    the forward pass (the ICP NN search is VPU-bound, not MXU FLOPs — the
+    breakdown is what shows the path is ICP-dominated)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scream_tpu.config import ModelConfig
+    from scream_tpu.data import PairLoader, SyntheticPairDataset
+    from scream_tpu.models.point_transformer import PointTransformer
+    from scream_tpu.pipeline.register import register_batch
+
+    model = PointTransformer(ModelConfig(dtype=DTYPE, norm_dtype=NORM_DTYPE))
+    ds = SyntheticPairDataset(length=BATCH, n_src=N_POINTS - 256,
+                              n_tgt=N_POINTS - 64, seed=3)
+    b0 = {k: jnp.asarray(v) for k, v in next(iter(PairLoader(
+        ds, batch_size=BATCH, src_capacity=N_POINTS,
+        tgt_capacity=N_POINTS))).items()}
+    params = model.init(jax.random.PRNGKey(0), b0["src"], b0["tgt"],
+                        b0["src_mask"], b0["tgt_mask"],
+                        jnp.swapaxes(b0["trans"], -1, -2))["params"]
+    host = np.random.default_rng(7)
+
+    def apply_fn(p, src, tgt, sm, tm, c):
+        return model.apply({"params": p}, src, tgt, sm, tm, c)
+
+    fwd = jax.jit(lambda b: apply_fn(params, b["src"], b["tgt"], b["src_mask"],
+                                     b["tgt_mask"],
+                                     jnp.swapaxes(b["trans"], -1, -2)))
+
+    def perturbed(k):
+        b = dict(b0)
+        b["src"] = b0["src"] + jnp.asarray(
+            host.standard_normal(b0["src"].shape).astype(np.float32) * 1e-4)
+        np.asarray(b["src"])
+        return b
+
+    t_fwd = _timed(fwd, perturbed)
+    t_solve = _timed(
+        lambda b: register_batch(apply_fn, params, b, dis_thresh=0.1,
+                                 corr="tgt", use_icp=False).transform,
+        perturbed,
+    )
+    t_full = _timed(
+        lambda b: register_batch(apply_fn, params, b, dis_thresh=0.1,
+                                 corr="tgt", icp_thresh=0.1,
+                                 icp_max_iter=ICP_ITERS).transform,
+        perturbed,
+    )
+
+    flops = _forward_flops(N_POINTS, N_POINTS)
+    mfu = flops * BATCH / t_fwd / V5E_PEAK_BF16_FLOPS
+    _emit({"metric": "breakdown_forward_ms_per_batch",
+           "value": round(t_fwd * 1e3, 2), "unit": "ms",
+           "batch": BATCH, "n_points": N_POINTS})
+    _emit({"metric": "breakdown_solve_ms_per_batch",
+           "value": round(max(t_solve - t_fwd, 0.0) * 1e3, 2), "unit": "ms",
+           "note": "correspondence NN + weighted Kabsch + metrics"})
+    _emit({"metric": "breakdown_icp_ms_per_batch",
+           "value": round(max(t_full - t_solve, 0.0) * 1e3, 2), "unit": "ms",
+           "note": f"{ICP_ITERS} NN+Kabsch iterations"})
+    _emit({"metric": "breakdown_total_ms_per_batch",
+           "value": round(t_full * 1e3, 2), "unit": "ms"})
+    _emit({"metric": "forward_mfu_pct", "value": round(mfu * 100.0, 2),
+           "unit": "%", "note": "analytic FLOPs vs 197 TF/s v5e bf16 peak"})
+
+
 if __name__ == "__main__":
     main()
     if "--suite" in sys.argv:
         suite()
+    if "--breakdown" in sys.argv:
+        breakdown()
+    if "--write" in sys.argv:
+        import platform
+
+        path = sys.argv[sys.argv.index("--write") + 1]
+        import jax
+
+        payload = {
+            "backend": jax.default_backend(),
+            "batch": BATCH,
+            "n_points": N_POINTS,
+            "icp_iters": ICP_ITERS,
+            "dtype": DTYPE,
+            "host": platform.machine(),
+            "results": RESULTS,
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"# wrote {len(RESULTS)} metrics to {path}", file=sys.stderr)

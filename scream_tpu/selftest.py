@@ -1,0 +1,101 @@
+"""On-TPU kernel selftest: compiled Pallas kernels vs the XLA reference paths.
+
+The pytest suite forces a CPU platform (tests/conftest.py), so the compiled
+(non-interpret) TPU kernels are never executed by it. This module is the
+real-hardware check — run it on the default (TPU) backend, serialized with
+any other TPU process (the tunnel is single-client):
+
+    python -m scream_tpu selftest-tpu
+
+Prints one JSON line with per-kernel max errors and exits nonzero on any
+mismatch. The checks mirror tests/test_tpu_only.py plus a gradient-parity
+check of the splat kernel's custom VJP (argmax-routed — identical cotangents
+to the XLA max-reduction path).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Dict
+
+import numpy as np
+
+
+def run_selftest() -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    out: Dict = {"backend": backend, "ok": False}
+    if backend != "tpu":
+        out["error"] = f"selftest-tpu needs the TPU backend, got {backend!r}"
+        return out
+
+    from scream_tpu.geometry.pairwise import masked_square_distance
+    from scream_tpu.ops.nn_pallas import nearest_neighbor_pallas
+    from scream_tpu.ops.render import render_depth_images
+
+    rng = np.random.default_rng(0)
+
+    # --- NN kernel (compiled) vs masked XLA distance matrix ---
+    src = jnp.asarray(rng.standard_normal((2000, 3)), jnp.float32)
+    dst = jnp.asarray(rng.standard_normal((3000, 3)), jnp.float32)
+    mask = jnp.asarray(rng.random(3000) > 0.1)
+    d, i, xyz = nearest_neighbor_pallas(src, dst, mask)
+    ref = masked_square_distance(src[None], dst[None], dst_mask=mask[None])[0]
+    nn_dist_err = float(jnp.max(jnp.abs(d - ref.min(-1))))
+    nn_idx_mismatch = int(jnp.sum(i != ref.argmin(-1)))
+    out["nn_dist_max_err"] = nn_dist_err
+    out["nn_idx_mismatches"] = nn_idx_mismatch
+
+    # Unmasked variant (the hot ICP configuration).
+    d2, i2, _ = nearest_neighbor_pallas(src, dst)
+    ref2 = masked_square_distance(src[None], dst[None])[0]
+    out["nn_unmasked_max_err"] = float(jnp.max(jnp.abs(d2 - ref2.min(-1))))
+    out["nn_unmasked_idx_mismatches"] = int(jnp.sum(i2 != ref2.argmin(-1)))
+
+    # --- splat kernel (compiled, batched) vs the XLA tiled path ---
+    sp = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 500, 3)), jnp.float32)
+    tp = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 600, 3)), jnp.float32)
+    a = render_depth_images(sp, tp, rho=24.0, width=64, use_pallas=True)
+    b = render_depth_images(sp, tp, rho=24.0, width=64, use_pallas=False)
+    out["splat_max_err"] = float(jnp.max(jnp.abs(a - b)))
+
+    # --- splat custom-VJP gradient parity (kernel vs XLA autodiff) ---
+    def loss(fn_flag):
+        def f(pts):
+            img = render_depth_images(pts, tp, rho=24.0, width=64,
+                                      use_pallas=fn_flag)
+            return jnp.sum(img * jnp.cos(jnp.arange(img.size).reshape(img.shape) * 0.01))
+        return f
+
+    ga = jax.grad(loss(True))(sp)
+    gb = jax.grad(loss(False))(sp)
+    out["splat_grad_max_err"] = float(jnp.max(jnp.abs(ga - gb)))
+    # Gradients carry a rho^2 = 576 factor from the Gaussian splat, so the
+    # meaningful check is relative to the gradient scale (rounding in the
+    # backward recompute is amplified exactly like the forward exp).
+    grad_scale = float(jnp.max(jnp.abs(gb)))
+    out["splat_grad_scale"] = grad_scale
+    out["splat_grad_rel_err"] = out["splat_grad_max_err"] / max(grad_scale, 1e-30)
+
+    out["ok"] = (
+        nn_dist_err < 1e-4
+        and nn_idx_mismatch == 0
+        and out["nn_unmasked_max_err"] < 1e-4
+        and out["nn_unmasked_idx_mismatches"] == 0
+        and out["splat_max_err"] < 1e-4
+        and out["splat_grad_rel_err"] < 1e-3
+    )
+    return out
+
+
+def main() -> int:
+    out = run_selftest()
+    print(json.dumps(out))
+    return 0 if out.get("ok") else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -7,9 +7,11 @@ default (TPU) backend:
     PYTHONPATH=. python -m pytest tests/test_tpu_only.py -q -p no:cacheprovider \
         --override-ini addopts=  # bypass the CPU-forcing conftest if needed
 
-In practice the conftest forces CPU for the whole suite, so these are
-exercised by invoking the module directly on the TPU env (see
-docs/DESIGN.md measurement notes) or by future TPU CI.
+In practice the conftest forces CPU for the whole suite; the REAL-hardware
+check is `python -m scream_tpu selftest-tpu` (scream_tpu/selftest.py), which
+runs these same parity checks (plus splat-VJP gradient parity) on the live
+TPU backend and records the result in SELFTEST_TPU.json — run it each round,
+serialized with other TPU processes (single-client tunnel).
 """
 
 import numpy as np
