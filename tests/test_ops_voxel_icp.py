@@ -107,6 +107,12 @@ class TestICP:
             import pytest
 
             pytest.skip("open3d not installed")
+        if not hasattr(o3d, "geometry"):
+            # test_torch_parity installs an empty open3d stub in sys.modules
+            # so the reference's utils.py imports; that is not the real thing.
+            import pytest
+
+            pytest.skip("open3d stubbed (not actually installed)")
         src, tgt, T_gt = self._make_pair(rng, noise=0.002)
         res = registration_icp(jnp.asarray(src), jnp.asarray(tgt), 0.3, max_iteration=30)
         src_pc = o3d.geometry.PointCloud(o3d.utility.Vector3dVector(src.astype(np.float64)))
