@@ -11,6 +11,7 @@ from scream_tpu.geometry.pairwise import (
     radius_count,
 )
 from scream_tpu.geometry.icp import ICPResult, icp_refine_if_better, registration_icp
+from scream_tpu.geometry.normals import estimate_normals, orient_normals_towards
 from scream_tpu.geometry.kabsch import kabsch, integrate_trans
 from scream_tpu.geometry.metrics import (
     transformation_error,
@@ -28,6 +29,8 @@ __all__ = [
     "ICPResult",
     "icp_refine_if_better",
     "registration_icp",
+    "estimate_normals",
+    "orient_normals_towards",
     "kabsch",
     "integrate_trans",
     "transformation_error",

@@ -207,3 +207,57 @@ class TestMetrics:
         mse = float(height_mse(jnp.asarray(pred), jnp.asarray(gt))[0])
         assert abs(mae - np.abs(pred[0, :, 2] - gt[0, :, 2]).mean()) < 1e-6
         assert abs(mse - ((pred[0, :, 2] - gt[0, :, 2]) ** 2).mean()) < 1e-6
+
+
+class TestEstimateNormals:
+    """PCA normals vs an exact-plane oracle (Open3D's estimate_normals
+    semantics: smallest covariance eigenvector over the k-NN neighborhood,
+    `/root/reference/visualize_3d_match.py:175-177` usage)."""
+
+    def test_plane_recovers_normal(self):
+        import jax.numpy as jnp
+
+        from scream_tpu.geometry import estimate_normals, orient_normals_towards
+
+        rng = np.random.default_rng(0)
+        n_true = np.array([1.0, 2.0, -0.5])
+        n_true /= np.linalg.norm(n_true)
+        u = np.array([2.0, -1.0, 0.0]) / np.sqrt(5)
+        v = np.cross(n_true, u)
+        ab = rng.standard_normal((200, 2))
+        pts = ab[:, :1] * u + ab[:, 1:] * v + rng.standard_normal((200, 3)) * 1e-4
+        normals = np.asarray(estimate_normals(jnp.asarray(pts, jnp.float32), k=16))
+        dots = np.abs(normals @ n_true)
+        assert (dots > 0.999).mean() > 0.98
+
+        cam = np.array([0.0, 0.0, 100.0])
+        oriented = np.asarray(orient_normals_towards(
+            jnp.asarray(normals), jnp.asarray(pts, jnp.float32), jnp.asarray(cam)))
+        assert (oriented @ n_true * np.sign(n_true @ cam) > 0).mean() > 0.98
+
+    def test_masked_padding_zero(self):
+        import jax.numpy as jnp
+
+        from scream_tpu.geometry import estimate_normals
+
+        rng = np.random.default_rng(1)
+        pts = np.zeros((1, 64, 3), np.float32)
+        pts[0, :40] = rng.standard_normal((40, 3))
+        mask = np.zeros((1, 64), bool)
+        mask[0, :40] = True
+        out = np.asarray(estimate_normals(jnp.asarray(pts), jnp.asarray(mask), k=8))
+        assert np.allclose(out[0, 40:], 0.0)
+        lens = np.linalg.norm(out[0, :40], axis=-1)
+        np.testing.assert_allclose(lens, 1.0, atol=1e-4)
+
+    def test_batch_consistency(self):
+        import jax.numpy as jnp
+
+        from scream_tpu.geometry import estimate_normals
+
+        rng = np.random.default_rng(2)
+        a = rng.standard_normal((50, 3)).astype(np.float32)
+        b = rng.standard_normal((50, 3)).astype(np.float32)
+        batched = np.asarray(estimate_normals(jnp.asarray(np.stack([a, b])), k=10))
+        single = np.asarray(estimate_normals(jnp.asarray(a), k=10))
+        np.testing.assert_allclose(np.abs(batched[0]), np.abs(single), atol=1e-5)
