@@ -29,16 +29,29 @@ import jax.numpy as jnp
 from scream_tpu.geometry.kabsch import kabsch
 
 
-def _nn(src_t, tgt, tgt_mask):
+def _nn(src_t, tgt, tgt_mask, thresh_sq=None):
     """Single-pass fused NN returning winner coordinates — the Pallas kernel
     on TPU (one VMEM-resident pass, no HBM distance matrix, no index gather),
     the XLA path elsewhere. Called on unbatched clouds so that a caller's
     vmap (ICP over a pair batch) maps the ``pallas_call`` exactly once —
     nested vmaps over Pallas kernels produce batch-dim layouts the TPU
-    lowering rejects."""
+    lowering rejects.
+
+    ``thresh_sq``: the ICP inlier threshold. When given (the ICP hot loop),
+    the threshold-BOUNDED kernel is used: exact for every point within the
+    threshold, tile-pruned elsewhere — correspondences beyond the threshold
+    carry zero weight and are excluded from fitness/RMSE, so the pruning is
+    protocol-exact (see ``ops.nn_pallas.nearest_neighbor_bounded``).
+    """
+    import os
+
     import jax
 
     if jax.default_backend() == "tpu":
+        if thresh_sq is not None and os.environ.get("SCREAM_NN_BOUNDED") != "0":
+            from scream_tpu.ops.nn_pallas import nearest_neighbor_bounded
+
+            return nearest_neighbor_bounded(src_t, tgt, thresh_sq, tgt_mask)
         from scream_tpu.ops.nn_pallas import nearest_neighbor_pallas
 
         d, _, xyz = nearest_neighbor_pallas(src_t, tgt, tgt_mask)
@@ -48,6 +61,26 @@ def _nn(src_t, tgt, tgt_mask):
 
     d, _, xyz = nearest_neighbor_full(src_t[None], tgt[None], tgt_mask[None])
     return d[0], xyz[0]
+
+
+def _spatial_sort(pts, mask, span_axis: int = 0):
+    """Sort points along one axis (masked rows last) — once per ICP call.
+
+    The threshold-bounded NN kernel prunes (src-tile, dst-tile) pairs by
+    bounding-box distance; that only bites when tiles are spatially compact.
+    Real preprocessed clouds already are (voxel downsampling emits
+    key-sorted order), synthetic/user clouds may not be. One sort before the
+    loop covers every iteration: a rigid transform maps near points to near
+    points, so a fixed spatially-coherent order stays coherent under the
+    per-iteration transforms. A single-axis sort is enough — it makes every
+    tile a thin slab along that axis, which is what the box-gap test
+    resolves (a full 3-key voxel lexsort costs 3 TPU sort passes for no
+    extra pruning at tile granularity). All downstream consumers (Kabsch
+    sums, fitness/RMSE, the returned transform) are permutation-invariant.
+    """
+    key = jnp.where(mask, pts[:, span_axis], jnp.float32(3e38))
+    order = jnp.argsort(key)
+    return pts[order], mask[order]
 
 
 class ICPResult(NamedTuple):
@@ -97,12 +130,21 @@ def registration_icp(
 
     src = src.astype(jnp.float32)
     tgt = tgt.astype(jnp.float32)
-    thresh_sq = jnp.asarray(max_correspondence_distance, jnp.float32) ** 2
+    thresh = jnp.asarray(max_correspondence_distance, jnp.float32)
+    thresh_sq = thresh ** 2
     n_valid_src = jnp.clip(jnp.sum(src_mask.astype(jnp.float32)), 1.0, None)
+
+    import os
+
+    if jax.default_backend() == "tpu" and os.environ.get("SCREAM_NN_BOUNDED") != "0":
+        # Feed the bounded NN kernel spatially-coherent tiles (see
+        # _spatial_sort).
+        src, src_mask = _spatial_sort(src, src_mask)
+        tgt, tgt_mask = _spatial_sort(tgt, tgt_mask)
 
     def step(T):
         src_t = src @ T[:3, :3].T + T[:3, 3]
-        nn_dist, corr_tgt = _nn(src_t, tgt, tgt_mask)
+        nn_dist, corr_tgt = _nn(src_t, tgt, tgt_mask, thresh_sq=thresh_sq)
         valid = (nn_dist < thresh_sq) & src_mask
         w = valid.astype(jnp.float32)
         n_inlier = jnp.sum(w)
@@ -137,7 +179,7 @@ def registration_icp(
 
     # Final metrics at the converged transform.
     src_t = src @ final.T[:3, :3].T + final.T[:3, 3]
-    nn_dist, _ = _nn(src_t, tgt, tgt_mask)
+    nn_dist, _ = _nn(src_t, tgt, tgt_mask, thresh_sq=thresh_sq)
     valid = (nn_dist < thresh_sq) & src_mask
     w = valid.astype(jnp.float32)
     n_inlier = jnp.sum(w)

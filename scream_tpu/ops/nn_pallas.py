@@ -152,6 +152,164 @@ def nearest_neighbor_pallas(
     return min_d2, idx, coords
 
 
+def _nn_bounded_kernel(tile_m: int, skip_ref, src_ref, dst_ref, min_ref, arg_ref):
+    """Threshold-bounded NN tile: whole (src-tile, dst-tile) blocks whose
+    bounding boxes are farther apart than the correspondence threshold are
+    skipped (their distances cannot matter — see
+    ``nearest_neighbor_bounded``).
+
+    The src tile is 1024 (sub = 8 — exactly one (8, 128) vreg): the
+    (1, TILE_N) -> (1, sub, 128) relayout inside the conditional body is a
+    whole-vreg shape cast Mosaic accepts; at sub = 4 (tile 512) the same
+    cast is rejected ("unsupported shape cast"). A 1-D-grid variant with an
+    in-kernel fori_loop + lax.cond over dst sub-tiles measured the SAME
+    throughput but 6x the Mosaic compile time (1579 s vs 241 s) — the
+    per-block overhead this design pays on skipped blocks is not the
+    bottleneck.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        min_ref[...] = jnp.full(min_ref.shape, 3.0e38, jnp.float32)
+        arg_ref[...] = jnp.zeros(arg_ref.shape, jnp.int32)
+
+    @pl.when(skip_ref[i, j] == 0)
+    def _():
+        src = src_ref[...]  # (TILE_N, 3)
+        dst = dst_ref[...]  # (TILE_M, 3)
+        cross = jax.lax.dot_general(
+            dst, src,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d_sq = jnp.sum(dst * dst, axis=1, keepdims=True)
+        s_sq = jnp.sum(src * src, axis=1)[None, :]
+        d2 = d_sq + s_sq - 2.0 * cross  # (TILE_M, TILE_N)
+
+        local_min = jnp.min(d2, axis=0, keepdims=True)  # (1, TILE_N)
+        rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+        local_arg = jnp.min(jnp.where(d2 <= local_min, rows, _BIG_IDX), axis=0,
+                            keepdims=True) + j * tile_m
+
+        tile_n = src.shape[0]
+        sub = tile_n // 128
+        local_min = local_min.reshape(1, sub, 128)
+        local_arg = local_arg.reshape(1, sub, 128)
+        prev_min = min_ref[...]
+        better = local_min < prev_min
+        min_ref[...] = jnp.where(better, local_min, prev_min)
+        arg_ref[...] = jnp.where(better, local_arg, arg_ref[...])
+
+
+def _tile_boxes(pts: jnp.ndarray, tile: int, far_sentinel: Optional[float] = None):
+    """Per-tile axis-aligned bounding boxes ``(n_tiles, 3) lo / hi``.
+
+    Rows at the FAR sentinel (masked dst points) are excluded so one masked
+    point does not blow a tile's box up to infinity; an all-masked tile gets
+    an empty (+inf/-inf) box, which every gap test skips naturally.
+    """
+    t = pts.reshape(-1, tile, 3)
+    if far_sentinel is None:
+        return t.min(axis=1), t.max(axis=1)
+    valid = t[..., :1] < far_sentinel / 2.0
+    lo = jnp.where(valid, t, jnp.inf).min(axis=1)
+    hi = jnp.where(valid, t, -jnp.inf).max(axis=1)
+    return lo, hi
+
+
+def _box_gap_sq(src_lo, src_hi, dst_lo, dst_hi):
+    """Squared min distance between every (src tile, dst tile) box pair."""
+    gap = jnp.maximum(
+        jnp.maximum(src_lo[:, None, :] - dst_hi[None, :, :],
+                    dst_lo[None, :, :] - src_hi[:, None, :]),
+        0.0,
+    )
+    return jnp.sum(gap * gap, axis=-1)  # (n_tiles, m_tiles)
+
+
+@partial(jax.jit, static_argnames=("interpret", "tile_n", "tile_m"))
+def nearest_neighbor_bounded(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    thresh_sq: jnp.ndarray,
+    dst_mask: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+    tile_n: int = 1024,
+    tile_m: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Threshold-bounded NN: ``(min_sq_dist, winner_xyz)`` per src point,
+    EXACT for every src point whose true NN lies within ``thresh_sq``;
+    points farther than the threshold are only guaranteed a distance
+    > ``thresh_sq`` (their winner is unspecified).
+
+    This is the ICP/pose-solve contract: correspondences beyond
+    ``max_correspondence_distance`` carry zero Kabsch weight and are
+    excluded from fitness/inlier-RMSE (`scream_tpu/geometry/icp.py`,
+    Open3D semantics), so their exact distance never matters. The freedom
+    buys tile pruning: voxel-sorted clouds are spatially coherent, so most
+    (src-tile, dst-tile) pairs have bounding boxes farther apart than the
+    threshold and skip the distance tile entirely — the skip matrix is a
+    scalar-prefetch operand and pruned blocks cost one grid step, no VPU
+    work. Falls back to the exact kernel path off-TPU.
+    """
+    n, m = src.shape[0], dst.shape[0]
+    n_pad = _round_up(max(n, tile_n), tile_n)
+    m_pad = _round_up(max(m, tile_m), tile_m)
+    sub = tile_n // 128
+
+    src_f = src.astype(jnp.float32)
+    # Edge-pad so the last tile's bounding box stays tight (zero-padding
+    # would drag every last-tile box to the origin).
+    src_p = jnp.concatenate(
+        [src_f, jnp.broadcast_to(src_f[-1:], (n_pad - n, 3))], axis=0
+    ) if n_pad > n else src_f
+    dst_f = dst.astype(jnp.float32)
+    if dst_mask is not None:
+        dst_f = jnp.where(dst_mask[:, None], dst_f, FAR)
+    dst_p = jnp.pad(dst_f, ((0, m_pad - m), (0, 0)), constant_values=FAR)
+
+    src_lo, src_hi = _tile_boxes(src_p, tile_n)
+    dst_lo, dst_hi = _tile_boxes(dst_p, tile_m, far_sentinel=FAR)
+    gap_sq = _box_gap_sq(src_lo, src_hi, dst_lo, dst_hi)
+    # STRICT >: a box exactly at the threshold may hold a point exactly at
+    # the threshold, whose (still-excluded) distance equals thresh_sq.
+    skip = (gap_sq > jnp.asarray(thresh_sq, jnp.float32)).astype(jnp.int32)
+
+    grid = (n_pad // tile_n, m_pad // tile_m)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, 3), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 3), lambda i, j, *_: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, sub, 128), lambda i, j, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, 128), lambda i, j, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    min_out, arg_out = pl.pallas_call(
+        partial(_nn_bounded_kernel, tile_m),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((grid[0], sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], sub, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(skip, src_p, dst_p)
+
+    min_d2 = jnp.maximum(min_out.reshape(-1)[:n], 0.0)
+    idx = jnp.clip(arg_out.reshape(-1)[:n], 0, m - 1)
+    coords = dst.astype(jnp.float32)[idx]
+    return min_d2, coords
+
+
 def nearest_neighbor_auto(
     src: jnp.ndarray,
     dst: jnp.ndarray,

@@ -55,6 +55,35 @@ def run_selftest() -> Dict:
     out["nn_unmasked_max_err"] = float(jnp.max(jnp.abs(d2 - ref2.min(-1))))
     out["nn_unmasked_idx_mismatches"] = int(jnp.sum(i2 != ref2.argmin(-1)))
 
+    # --- threshold-bounded NN kernel: exact within the threshold ---
+    from scream_tpu.ops.nn_pallas import nearest_neighbor_bounded
+
+    sb = jnp.asarray(rng.random((2048, 3)) * 3.0, jnp.float32)
+    db = jnp.asarray(rng.random((2048, 3)) * 3.0, jnp.float32)
+    # Voxel-sort-like coherence so pruning fires as it does on real clouds.
+    key = np.floor(np.asarray(sb) / 0.2)
+    sb = sb[np.lexsort((key[:, 2], key[:, 1], key[:, 0]))]
+    key = np.floor(np.asarray(db) / 0.2)
+    db = db[np.lexsort((key[:, 2], key[:, 1], key[:, 0]))]
+    thresh_sq = jnp.float32(0.01)
+    bd, bxyz = nearest_neighbor_bounded(sb, db, thresh_sq)
+    bref = masked_square_distance(sb[None], db[None])[0]
+    bmin = bref.min(-1)
+    inl = np.asarray(bmin) <= 0.01
+    out["bounded_nn_inliers"] = int(inl.sum())
+    out["bounded_nn_max_err"] = float(
+        jnp.max(jnp.abs(bd - bmin) * jnp.asarray(inl))
+    )
+    out["bounded_nn_bound_ok"] = bool((np.asarray(bd)[~inl] > 0.01).all())
+
+    # --- ICP with the bounded kernel == ICP trajectories (same transforms) ---
+    from scream_tpu.geometry.icp import registration_icp
+
+    T0 = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(jnp.asarray([0.05, -0.03, 0.02]))
+    res = registration_icp(sb, db, 0.1, init=T0, max_iteration=10)
+    out["bounded_icp_finite"] = bool(jnp.all(jnp.isfinite(res.transformation)))
+    out["bounded_icp_iterations"] = int(res.iterations)
+
     # --- splat kernel (compiled, batched) vs the XLA tiled path ---
     sp = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 500, 3)), jnp.float32)
     tp = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 600, 3)), jnp.float32)
@@ -85,6 +114,9 @@ def run_selftest() -> Dict:
         and nn_idx_mismatch == 0
         and out["nn_unmasked_max_err"] < 1e-4
         and out["nn_unmasked_idx_mismatches"] == 0
+        and out["bounded_nn_max_err"] < 1e-4
+        and out["bounded_nn_bound_ok"]
+        and out["bounded_icp_finite"]
         and out["splat_max_err"] < 1e-4
         and out["splat_grad_rel_err"] < 1e-3
     )

@@ -71,3 +71,88 @@ class TestNNPallas:
         np.testing.assert_allclose(
             np.asarray(xyz[0]), np.asarray(dst[0])[np.asarray(i[0])], atol=1e-6
         )
+
+
+class TestBoundedNN:
+    """Threshold-bounded NN: exact within the threshold, pruned beyond
+    (the ICP hot-loop contract — correspondences past the threshold carry
+    zero weight, scream_tpu/geometry/icp.py)."""
+
+    def _clouds(self, rng, n=700, m=900, sorted_=True):
+        src = rng.random((n, 3)).astype(np.float32) * 3.0
+        dst = rng.random((m, 3)).astype(np.float32) * 3.0
+        if sorted_:
+            # Voxel-sort-like spatial coherence (lexsort by grid key).
+            def keysort(p):
+                k = np.floor(p / 0.2)
+                order = np.lexsort((k[:, 2], k[:, 1], k[:, 0]))
+                return p[order]
+            src, dst = keysort(src), keysort(dst)
+        return src, dst
+
+    def test_exact_within_threshold(self, rng):
+        from scream_tpu.geometry.pairwise import masked_square_distance
+        from scream_tpu.ops.nn_pallas import nearest_neighbor_bounded
+
+        src, dst = self._clouds(rng)
+        thresh_sq = np.float32(0.01)  # 0.1 distance
+        d, xyz = nearest_neighbor_bounded(
+            jnp.asarray(src), jnp.asarray(dst), thresh_sq, interpret=True)
+        ref = np.asarray(masked_square_distance(src[None], dst[None])[0])
+        ref_min = ref.min(-1)
+        ref_xyz = dst[ref.argmin(-1)]
+        inlier = ref_min <= thresh_sq
+        assert inlier.sum() > 20, "fixture should produce inliers"
+        np.testing.assert_allclose(np.asarray(d)[inlier], ref_min[inlier],
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(xyz)[inlier], ref_xyz[inlier],
+                                   atol=1e-6)
+        # Outside the threshold only the bound matters.
+        assert (np.asarray(d)[~inlier] > thresh_sq).all()
+
+    def test_masked_dst(self, rng):
+        from scream_tpu.geometry.pairwise import masked_square_distance
+        from scream_tpu.ops.nn_pallas import nearest_neighbor_bounded
+
+        src, dst = self._clouds(rng, n=600, m=800)
+        mask = rng.random(800) > 0.3
+        thresh_sq = np.float32(0.02)
+        d, xyz = nearest_neighbor_bounded(
+            jnp.asarray(src), jnp.asarray(dst), thresh_sq,
+            dst_mask=jnp.asarray(mask), interpret=True)
+        ref = np.asarray(masked_square_distance(
+            src[None], dst[None], dst_mask=mask[None])[0])
+        ref_min = ref.min(-1)
+        inlier = ref_min <= thresh_sq
+        np.testing.assert_allclose(np.asarray(d)[inlier], ref_min[inlier],
+                                   atol=1e-5)
+        assert (np.asarray(d)[~inlier] > thresh_sq).all()
+
+    def test_pruning_fires_on_sorted_clouds(self, rng):
+        """The skip matrix must actually prune most tile pairs on spatially
+        sorted clouds — the entire point of the bounded kernel."""
+        import jax.numpy as jnp
+
+        from scream_tpu.ops.nn_pallas import (
+            FAR,
+            _box_gap_sq,
+            _tile_boxes,
+        )
+
+        src, dst = self._clouds(rng, n=4096, m=4096)
+        lo_s, hi_s = _tile_boxes(jnp.asarray(src), 512)
+        lo_d, hi_d = _tile_boxes(jnp.asarray(dst), 512, far_sentinel=FAR)
+        gap = np.asarray(_box_gap_sq(lo_s, hi_s, lo_d, hi_d))
+        skip_frac = (gap > 0.01).mean()
+        assert skip_frac > 0.4, f"pruning too weak: {skip_frac:.2f}"
+
+    def test_all_pruned_returns_bound(self, rng):
+        from scream_tpu.ops.nn_pallas import nearest_neighbor_bounded
+
+        src = rng.random((600, 3)).astype(np.float32)
+        dst = rng.random((600, 3)).astype(np.float32) + 100.0  # far away
+        d, xyz = nearest_neighbor_bounded(
+            jnp.asarray(src), jnp.asarray(dst), np.float32(0.01),
+            interpret=True)
+        assert (np.asarray(d) > 0.01).all()
+        assert np.isfinite(np.asarray(xyz)).all()
