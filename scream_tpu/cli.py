@@ -486,11 +486,14 @@ def cmd_visualize(args):
                             dev["tgt_mask"], jnp.swapaxes(dev["trans"], -1, -2))
         zero = args.mode == "zero"
         # Zero-overlap protocol: corr = src_pred itself, thresh 0.2
-        # (`/root/reference/evaluate_3d_match.py:193-195`).
+        # (`/root/reference/evaluate_3d_match.py:193-195`); NN thresh 0.1 and
+        # ICP max_correspondence_distance 0.1 at Open3D's default 30
+        # iterations for the match flow
+        # (`/root/reference/visualize_3d_match.py:73-76,139-151`).
         m = register_batch(apply_fn, params, dev,
-                           dis_thresh=0.2 if zero else 0.09,
+                           dis_thresh=0.2 if zero else 0.1,
                            corr="src_pred" if zero else "tgt",
-                           icp_thresh=0.2, icp_max_iter=20)
+                           icp_thresh=0.1, icp_max_iter=30)
         n = int(np.asarray(dev["src_mask"][0]).sum())
         pred = np.asarray(src_pred[0])[:n]
         gt_pos = np.asarray(dev["src"][0])[:n] @ item["rot"].T + item["trans"].reshape(3)
@@ -515,11 +518,15 @@ def cmd_visualize(args):
                                       path=out["pred_error"])
             if zero:
                 # Zero-match "flow lines" + the selected correspondence
-                # subset (`/root/reference/visualize_3d_match.py:98-116`).
+                # subset. The reference thresholds squared distances in the
+                # DE-SCALED frame: square_distance(src_pred/s, tgt/s) < 0.2
+                # (`/root/reference/visualize_3d_match.py:62-64,98-116`).
                 from scream_tpu.geometry.pairwise import square_distance
 
+                inv_s = float(1.0 / np.asarray(dev["scale"][0]))
                 d2 = np.asarray(square_distance(
-                    src_pred[:, :n], dev["tgt"][:, :int(np.asarray(dev["tgt_mask"][0]).sum())]
+                    src_pred[:, :n] * inv_s,
+                    dev["tgt"][:, :int(np.asarray(dev["tgt_mask"][0]).sum())] * inv_s,
                 )[0].min(axis=-1))
                 selected = d2 < 0.2
                 out["flow"] = stem + "_flow.png"

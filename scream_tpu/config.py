@@ -75,8 +75,9 @@ class TrainConfig:
     min_lr: float = 1e-5
     lr_decay_gamma: float = 0.5
     # LR-decay epoch boundaries: "every15" -> 15, 30, 45... (3DMatch/OpenGF,
-    # /root/reference/train_3d_match.py:44-51); "kitti" -> 10, 40, 70...
-    # (/root/reference/train_kitti.py:231-234). Consumed by
+    # /root/reference/train_3d_match.py:44-51); "kitti" -> 10, 30, 60, 90
+    # (/root/reference/train_kitti.py:231-234: % lr_update_epoch with the
+    # 10 -> 30 switch after the first decay). Consumed by
     # train.optim.generator_optimizer.
     decay_mode: str = "every15"
     epochs: int = 45

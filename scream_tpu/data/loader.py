@@ -300,6 +300,13 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
         # transfer (wrapping it in jnp.asarray would transfer twice).
         if sharding is None:
             return {k: jax.device_put(v) for k, v in batch.items()}
+        # A trailing partial batch (drop_last=False loaders) cannot shard on
+        # the data axis; place it single-device like the eval paths do.
+        mesh = getattr(sharding, "mesh", None)
+        if mesh is not None:
+            b = len(next(iter(batch.values())))
+            if b % dict(mesh.shape).get("data", 1) != 0:
+                return {k: jax.device_put(v) for k, v in batch.items()}
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
     it = iter(iterator)

@@ -61,17 +61,11 @@ class SkipDataset:
 
 def _to_device(batch, skip=("idx", "scene"), mesh=None):
     """Ship a batch to device, leaving host-only sidecars (consumed from the
-    numpy batch for bookkeeping) off the device and out of the jit. With a
-    mesh, arrays shard over the ``data`` axis (multi-chip eval); a trailing
-    batch whose size does not divide the axis falls back to single-device."""
-    arrays = {k: jnp.asarray(v) for k, v in batch.items() if k not in skip}
-    if mesh is not None:
-        from scream_tpu.parallel.mesh import shard_batch
+    numpy batch for bookkeeping) off the device and out of the jit. Sharding
+    policy shared with the trainers (`parallel.mesh.to_device_maybe_sharded`)."""
+    from scream_tpu.parallel.mesh import to_device_maybe_sharded
 
-        b = next(iter(arrays.values())).shape[0]
-        if b % mesh.shape["data"] == 0:
-            return shard_batch(arrays, mesh)
-    return arrays
+    return to_device_maybe_sharded(batch, mesh, skip=skip)
 
 
 def _replicate_params(params, mesh):
@@ -152,7 +146,7 @@ def evaluate_registration_per_scene(
             apply_fn, params, _to_device(batch, mesh=mesh),
             dis_thresh=dis_thresh, corr=corr,
             icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
-            center_mode=center_mode,
+            center_mode=center_mode, spmd=mesh is not None,
         )
         if pending is not None:
             _consume(*pending)
@@ -271,7 +265,7 @@ def evaluate_kitti(
             apply_fn, params, _to_device(batch, mesh=mesh),
             dis_thresh=dis_thresh, corr="tgt",
             icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
-            center_mode=center_mode,
+            center_mode=center_mode, spmd=mesh is not None,
         )
         if pending is not None:
             _consume(pending)

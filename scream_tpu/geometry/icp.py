@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from scream_tpu.geometry.kabsch import kabsch
 
 
-def _nn(src_t, tgt, tgt_mask, thresh_sq=None):
+def _nn(src_t, tgt, tgt_mask, thresh_sq=None, force_xla=False):
     """Single-pass fused NN returning winner coordinates — the Pallas kernel
     on TPU (one VMEM-resident pass, no HBM distance matrix, no index gather),
     the XLA path elsewhere. Called on unbatched clouds so that a caller's
@@ -47,7 +47,7 @@ def _nn(src_t, tgt, tgt_mask, thresh_sq=None):
 
     import jax
 
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not force_xla:
         if thresh_sq is not None and os.environ.get("SCREAM_NN_BOUNDED") != "0":
             from scream_tpu.ops.nn_pallas import nearest_neighbor_bounded
 
@@ -59,7 +59,8 @@ def _nn(src_t, tgt, tgt_mask, thresh_sq=None):
 
     from scream_tpu.ops.nn_pallas import nearest_neighbor_full
 
-    d, _, xyz = nearest_neighbor_full(src_t[None], tgt[None], tgt_mask[None])
+    d, _, xyz = nearest_neighbor_full(src_t[None], tgt[None], tgt_mask[None],
+                                      force_xla=force_xla)
     return d[0], xyz[0]
 
 
@@ -99,7 +100,7 @@ class _State(NamedTuple):
     it: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("max_iteration",))
+@partial(jax.jit, static_argnames=("max_iteration", "force_xla"))
 def registration_icp(
     src: jnp.ndarray,
     tgt: jnp.ndarray,
@@ -110,6 +111,7 @@ def registration_icp(
     tgt_mask: Optional[jnp.ndarray] = None,
     relative_fitness: float = 1e-6,
     relative_rmse: float = 1e-6,
+    force_xla: bool = False,
 ) -> ICPResult:
     """Refine an initial pose aligning ``src`` onto ``tgt``.
 
@@ -136,7 +138,8 @@ def registration_icp(
 
     import os
 
-    if jax.default_backend() == "tpu" and os.environ.get("SCREAM_NN_BOUNDED") != "0":
+    if (jax.default_backend() == "tpu" and not force_xla
+            and os.environ.get("SCREAM_NN_BOUNDED") != "0"):
         # Feed the bounded NN kernel spatially-coherent tiles (see
         # _spatial_sort).
         src, src_mask = _spatial_sort(src, src_mask)
@@ -144,7 +147,8 @@ def registration_icp(
 
     def step(T):
         src_t = src @ T[:3, :3].T + T[:3, 3]
-        nn_dist, corr_tgt = _nn(src_t, tgt, tgt_mask, thresh_sq=thresh_sq)
+        nn_dist, corr_tgt = _nn(src_t, tgt, tgt_mask, thresh_sq=thresh_sq,
+                                force_xla=force_xla)
         valid = (nn_dist < thresh_sq) & src_mask
         w = valid.astype(jnp.float32)
         n_inlier = jnp.sum(w)
@@ -179,7 +183,8 @@ def registration_icp(
 
     # Final metrics at the converged transform.
     src_t = src @ final.T[:3, :3].T + final.T[:3, 3]
-    nn_dist, _ = _nn(src_t, tgt, tgt_mask, thresh_sq=thresh_sq)
+    nn_dist, _ = _nn(src_t, tgt, tgt_mask, thresh_sq=thresh_sq,
+                     force_xla=force_xla)
     valid = (nn_dist < thresh_sq) & src_mask
     w = valid.astype(jnp.float32)
     n_inlier = jnp.sum(w)
@@ -197,6 +202,7 @@ def icp_refine_if_better(
     max_iteration: int = 30,
     src_mask: Optional[jnp.ndarray] = None,
     tgt_mask: Optional[jnp.ndarray] = None,
+    force_xla: bool = False,
 ):
     """ICP refinement kept only if RE *and* TE both improve vs ground truth.
 
@@ -210,6 +216,7 @@ def icp_refine_if_better(
     result = registration_icp(
         src, tgt, max_correspondence_distance, init=init_T,
         max_iteration=max_iteration, src_mask=src_mask, tgt_mask=tgt_mask,
+        force_xla=force_xla,
     )
     re1, te1 = transformation_error(result.transformation, gt_T)
     better = (re1 <= re0) & (te1 <= te0)

@@ -48,14 +48,14 @@ def estimate_normals(
     # top_k of negated distances = k nearest (incl. self at distance 0).
     neg_d, idx = jax.lax.top_k(-d2, k_eff)  # (B, N, k)
     # Neighbors that are masked-out padding carry +BIG distance and only
-    # appear when a row has < k valid candidates; weight them out.
-    nb_valid = (neg_d > -1e30) & jnp.take_along_axis(
-        mask[:, None, :].repeat(N, axis=1), idx, axis=-1
-    )
+    # appear when a row has < k valid candidates; weight them out. Batched
+    # index gather — NOT take_along_axis over .repeat'ed inputs, which
+    # materializes (B, N, N, 3)/(B, N, N) intermediates.
+    bi = jnp.arange(B)[:, None, None]
+    nb_valid = (neg_d > -1e30) & mask[bi, idx]
     w = nb_valid.astype(jnp.float32)[..., None]  # (B, N, k, 1)
 
-    nb = jnp.take_along_axis(pts[:, None, :, :].repeat(N, axis=1),
-                             idx[..., None].repeat(3, axis=-1), axis=2)
+    nb = pts[bi, idx]  # (B, N, k, 3)
     n_nb = jnp.clip(jnp.sum(w, axis=2), 1.0, None)  # (B, N, 1)
     mean = jnp.sum(nb * w, axis=2) / n_nb  # (B, N, 3)
     centered = (nb - mean[:, :, None, :]) * w

@@ -327,14 +327,19 @@ def nearest_neighbor_full(
     src: jnp.ndarray,
     dst: jnp.ndarray,
     dst_mask: Optional[jnp.ndarray] = None,
+    force_xla: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Backend dispatch returning ``(distance, index, winner_xyz)`` batched.
 
     On both backends the winner coordinates are a single gather on the
     kernel's argmin indices — the in-kernel one-hot variant was removed for
     a ~40% end-to-end throughput win (see ``nearest_neighbor_pallas``).
+
+    ``force_xla``: take the pure-XLA path even on TPU. Needed under
+    multi-chip SPMD (``--mesh``): GSPMD cannot auto-partition Mosaic custom
+    calls, so sharded batches must run the partitionable XLA formulation.
     """
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not force_xla:
         if dst_mask is None:
             return jax.vmap(lambda s, d: nearest_neighbor_pallas(s, d))(src, dst)
         return jax.vmap(nearest_neighbor_pallas)(src, dst, dst_mask)

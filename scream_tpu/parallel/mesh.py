@@ -46,10 +46,10 @@ def make_mesh(
     if n_data is None:
         n_data = len(devices) // (n_seq * n_model)
     need = n_data * n_seq * n_model
-    if need > len(devices):
+    if need > len(devices) or n_data < 1:
         raise ValueError(
-            f"mesh {n_data}x{n_seq}x{n_model} needs {need} devices, "
-            f"found {len(devices)}"
+            f"mesh {n_data}x{n_seq}x{n_model} needs {max(need, n_seq * n_model)} "
+            f"devices, found {len(devices)}"
         )
     # An explicit smaller mesh uses the leading device subset (e.g.
     # `--mesh data=4` on an 8-chip host trains on 4 chips).
@@ -121,3 +121,21 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params, opt state) across the mesh."""
     sh = replicated(mesh)
     return jax.device_put(tree, sh)
+
+
+def to_device_maybe_sharded(batch, mesh: Optional[Mesh], skip=()) -> Dict:
+    """Host batch -> device arrays, batch-sharded over the ``data`` axis when
+    a mesh is given and the batch size divides it.
+
+    The single shard-or-fallback policy for the trainer and eval paths: a
+    trailing partial batch (drop_last=False loaders) falls back to
+    single-device placement — same shapes, so no recompilation beyond the
+    sharding variant. ``skip`` names host-only sidecar keys left off the
+    device entirely.
+    """
+    arrays = {k: jnp.asarray(v) for k, v in batch.items() if k not in skip}
+    if mesh is not None:
+        b = next(iter(arrays.values())).shape[0]
+        if b % mesh.shape["data"] == 0:
+            return shard_batch(arrays, mesh)
+    return arrays

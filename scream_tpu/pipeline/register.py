@@ -71,6 +71,7 @@ def solve_pose(
     center: jnp.ndarray,
     dis_thresh: float = 0.1,
     corr: str = "tgt",
+    force_xla_nn: bool = False,
 ) -> PoseSolution:
     """Recover the batched rigid pose from the hallucinated source cloud.
 
@@ -82,7 +83,7 @@ def solve_pose(
 
     inv_s = (1.0 / scale)[:, None, None]
     nn_d2, nn_idx, nn_xyz = nearest_neighbor_full(
-        src_pred * inv_s, tgt * inv_s, tgt_mask
+        src_pred * inv_s, tgt * inv_s, tgt_mask, force_xla=force_xla_nn
     )
     valid = (nn_d2 < dis_thresh) & src_mask
 
@@ -126,7 +127,8 @@ def in_forward_transform(
 
 
 def _icp_refine_batch(
-    src_dn, tgt_dn, src_mask, tgt_mask, init_T, gt_T, icp_thresh, icp_max_iter
+    src_dn, tgt_dn, src_mask, tgt_mask, init_T, gt_T, icp_thresh, icp_max_iter,
+    force_xla=False,
 ):
     """vmapped ICP + keep-iff-both-improve acceptance
     (the single implementation lives in `geometry.icp.icp_refine_if_better`)."""
@@ -135,7 +137,7 @@ def _icp_refine_batch(
     def one(src, tgt, sm, tm, T0, Tg):
         return icp_refine_if_better(
             src, tgt, T0, Tg, icp_thresh, max_iteration=icp_max_iter,
-            src_mask=sm, tgt_mask=tm,
+            src_mask=sm, tgt_mask=tm, force_xla=force_xla,
         )
 
     return jax.vmap(one)(src_dn, tgt_dn, src_mask, tgt_mask, init_T, gt_T)
@@ -160,7 +162,7 @@ def gt_center_hint(rot, trans, mode: str = "trans"):
     jax.jit,
     static_argnames=(
         "apply_fn", "dis_thresh", "corr", "icp_thresh", "icp_max_iter",
-        "use_icp", "icp_subsample", "center_mode",
+        "use_icp", "icp_subsample", "center_mode", "spmd",
     ),
 )
 def register_batch(
@@ -174,6 +176,7 @@ def register_batch(
     use_icp: bool = True,
     icp_subsample: Optional[int] = None,
     center_mode: str = "trans",
+    spmd: bool = False,
 ) -> RegistrationMetrics:
     """Full eval step for one padded batch: forward, solve, refine, measure.
 
@@ -187,6 +190,11 @@ def register_batch(
     into the compiled executable at trace time and silently reused for later
     batches. Thread per-batch data through ``params`` or ``batch``, never
     through the closure.
+
+    ``spmd=True`` (set by the eval protocols when batches are mesh-sharded)
+    routes the NN searches through the pure-XLA formulations: GSPMD cannot
+    auto-partition Mosaic (Pallas) custom calls, so the single-chip kernels
+    only run when the batch lives on one device.
     """
     src, tgt = batch["src"], batch["tgt"]
     src_mask, tgt_mask = batch["src_mask"], batch["tgt_mask"]
@@ -198,7 +206,8 @@ def register_batch(
     src_pred = src_pred.astype(jnp.float32)
 
     sol = solve_pose(
-        src, src_pred, tgt, src_mask, tgt_mask, scale, center, dis_thresh, corr
+        src, src_pred, tgt, src_mask, tgt_mask, scale, center, dis_thresh, corr,
+        force_xla_nn=spmd,
     )
     gt_T = denormalized_gt(rot, trans, scale, center)
 
@@ -220,7 +229,7 @@ def register_batch(
             icp_src_mask = src_mask[:, ::step][:, :icp_subsample]
         T, re, te = _icp_refine_batch(
             icp_src, tgt_dn, icp_src_mask, tgt_mask, sol.transform, gt_T,
-            icp_thresh, icp_max_iter,
+            icp_thresh, icp_max_iter, force_xla=spmd,
         )
     else:
         T = sol.transform

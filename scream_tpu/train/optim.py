@@ -25,12 +25,16 @@ from scream_tpu.config import TrainConfig
 def decay_epochs(mode: str, total_epochs: int) -> Sequence[int]:
     """Epoch boundaries at which the LR halves.
 
-    ``mode``: "every15" -> 15, 30, 45...; "kitti" -> 10, 40, 70, ...
+    ``mode``: "every15" -> 15, 30, 45...; "kitti" -> 10, 30, 60, 90
+    (`/root/reference/train_kitti.py:231-234`: decay fires when
+    ``epoch % lr_update_epoch == 0`` with ``lr_update_epoch`` switching
+    10 -> 30 immediately after the epoch-10 decay, so the next boundaries
+    are the multiples of 30).
     """
     if mode == "every15":
         return list(range(15, total_epochs + 1, 15))
     if mode == "kitti":
-        return [10] + list(range(40, total_epochs + 1, 30))
+        return [10] + list(range(30, total_epochs + 1, 30))
     raise ValueError(f"unknown decay mode {mode!r}")
 
 

@@ -37,18 +37,11 @@ from scream_tpu.utils.logging import MetricsLogger
 
 
 def _to_device(batch: Dict[str, np.ndarray], mesh=None) -> Dict[str, jnp.ndarray]:
-    """Host batch -> device arrays; batch-sharded over the mesh's data axis
-    when a mesh is given and the batch size divides it (a trailing partial
-    batch falls back to single-device placement — same shapes, so no extra
-    compilation beyond the sharding variant)."""
-    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
-    if mesh is not None:
-        from scream_tpu.parallel.mesh import shard_batch
+    """Host batch -> device arrays (mesh-sharded when divisible — the shared
+    policy lives in `parallel.mesh.to_device_maybe_sharded`)."""
+    from scream_tpu.parallel.mesh import to_device_maybe_sharded
 
-        b = next(iter(arrays.values())).shape[0]
-        if b % mesh.shape["data"] == 0:
-            return shard_batch(arrays, mesh)
-    return arrays
+    return to_device_maybe_sharded(batch, mesh)
 
 
 def _wrap_steps_for_mesh(trainer, mesh) -> None:
@@ -290,6 +283,7 @@ class RegistrationTrainer:
                 icp_max_iter=self.eval_cfg.icp_max_iter,
                 use_icp=self.val_use_icp,
                 center_mode=self.eval_cfg.center_mode,
+                spmd=self.mesh is not None,
             )
             re = np.asarray(m.re_deg)
             te = np.asarray(m.te)

@@ -27,7 +27,10 @@ def _loaders(n=8, batch=4, n_pts=64):
 class TestSchedules:
     def test_decay_epochs(self):
         assert list(optim.decay_epochs("every15", 45)) == [15, 30, 45]
-        assert list(optim.decay_epochs("kitti", 120)) == [10, 40, 70, 100]
+        # Reference: epoch % lr_update_epoch == 0 with the 10 -> 30 switch
+        # right after the first decay => 10, 30, 60, 90
+        # (/root/reference/train_kitti.py:231-234).
+        assert list(optim.decay_epochs("kitti", 120)) == [10, 30, 60, 90, 120]
         with pytest.raises(ValueError):
             optim.decay_epochs("nope", 10)
 
