@@ -4,6 +4,7 @@ Everything in this package is a pure, batched, jittable jnp function.
 """
 
 from scream_tpu.geometry import so3, se3
+from scream_tpu.geometry.lie import SO3, SE3
 from scream_tpu.geometry.pairwise import (
     square_distance,
     masked_square_distance,
@@ -22,6 +23,8 @@ from scream_tpu.geometry.metrics import (
 __all__ = [
     "so3",
     "se3",
+    "SO3",
+    "SE3",
     "square_distance",
     "masked_square_distance",
     "nearest_neighbor",
