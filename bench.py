@@ -394,15 +394,24 @@ def breakdown():
 
 
 if __name__ == "__main__":
+    # Validate flags BEFORE the multi-minute TPU runs: a forgotten --write
+    # operand must not crash after the suite has already been measured.
+    write_path = None
+    if "--write" in sys.argv:
+        i = sys.argv.index("--write")
+        if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("--"):
+            sys.stderr.write("bench.py: --write requires a file path operand\n")
+            sys.exit(2)
+        write_path = sys.argv[i + 1]
     main()
     if "--suite" in sys.argv:
         suite()
     if "--breakdown" in sys.argv:
         breakdown()
-    if "--write" in sys.argv:
+    if write_path is not None:
         import platform
 
-        path = sys.argv[sys.argv.index("--write") + 1]
+        path = write_path
         import jax
 
         payload = {

@@ -29,6 +29,27 @@ import jax.numpy as jnp
 from scream_tpu.geometry.kabsch import kabsch
 
 
+def _use_bounded_nn(force_xla: bool) -> bool:
+    """Single routing predicate for the threshold-bounded NN kernel, shared
+    by :func:`_nn` (which picks the kernel) and :func:`registration_icp`
+    (which pre-sorts the clouds the kernel's tile pruning relies on) — the
+    two sites must agree or ICP either pays a useless sort or feeds the
+    bounded kernel incoherent tiles (correct but ~0% pruning).
+
+    Evaluated at TRACE time inside jitted callers: flipping
+    ``SCREAM_NN_BOUNDED`` after the first ``registration_icp`` call in a
+    process has no effect on already-compiled shapes (the jit cache keeps
+    the traced routing); set it before the first call.
+    """
+    import os
+
+    return (
+        jax.default_backend() == "tpu"
+        and not force_xla
+        and os.environ.get("SCREAM_NN_BOUNDED") != "0"
+    )
+
+
 def _nn(src_t, tgt, tgt_mask, thresh_sq=None, force_xla=False):
     """Single-pass fused NN returning winner coordinates — the Pallas kernel
     on TPU (one VMEM-resident pass, no HBM distance matrix, no index gather),
@@ -43,12 +64,8 @@ def _nn(src_t, tgt, tgt_mask, thresh_sq=None, force_xla=False):
     carry zero weight and are excluded from fitness/RMSE, so the pruning is
     protocol-exact (see ``ops.nn_pallas.nearest_neighbor_bounded``).
     """
-    import os
-
-    import jax
-
     if jax.default_backend() == "tpu" and not force_xla:
-        if thresh_sq is not None and os.environ.get("SCREAM_NN_BOUNDED") != "0":
+        if thresh_sq is not None and _use_bounded_nn(force_xla):
             from scream_tpu.ops.nn_pallas import nearest_neighbor_bounded
 
             return nearest_neighbor_bounded(src_t, tgt, thresh_sq, tgt_mask)
@@ -136,10 +153,7 @@ def registration_icp(
     thresh_sq = thresh ** 2
     n_valid_src = jnp.clip(jnp.sum(src_mask.astype(jnp.float32)), 1.0, None)
 
-    import os
-
-    if (jax.default_backend() == "tpu" and not force_xla
-            and os.environ.get("SCREAM_NN_BOUNDED") != "0"):
+    if _use_bounded_nn(force_xla):
         # Feed the bounded NN kernel spatially-coherent tiles (see
         # _spatial_sort).
         src, src_mask = _spatial_sort(src, src_mask)

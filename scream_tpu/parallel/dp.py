@@ -16,6 +16,19 @@ from jax.sharding import Mesh
 from scream_tpu.parallel.mesh import batch_sharding, replicated
 
 
+def _batch_axis_sharding(mesh: Mesh, batch_size: int):
+    """Leading-axis sharding when the batch divides the data axis, replicated
+    otherwise — the same shard-or-fallback policy as
+    ``parallel.mesh.to_device_maybe_sharded``. A trailing partial batch from
+    a drop_last=False loader then computes redundantly on every device
+    (identical updates, still correct) instead of raising a divisibility
+    error from ``device_put``.
+    """
+    if batch_size % mesh.shape["data"] == 0:
+        return batch_sharding(mesh)
+    return replicated(mesh)
+
+
 def data_parallel_step(step_fn: Callable, mesh: Mesh) -> Callable:
     """Constrain an already-jitted ``step(state, batch, ...)`` for DP.
 
@@ -24,10 +37,10 @@ def data_parallel_step(step_fn: Callable, mesh: Mesh) -> Callable:
     whose gradient reduction rides ICI.
     """
     rep = replicated(mesh)
-    sh = batch_sharding(mesh)
 
     def wrapped(state, batch: Dict, *args):
         state = jax.device_put(state, rep)
+        sh = _batch_axis_sharding(mesh, next(iter(batch.values())).shape[0])
         batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
         args = tuple(jax.device_put(a, rep) if a is not None else None for a in args)
         return step_fn(state, batch, *args)
@@ -38,10 +51,10 @@ def data_parallel_step(step_fn: Callable, mesh: Mesh) -> Callable:
 def data_parallel_apply(apply_fn: Callable, mesh: Mesh) -> Callable:
     """Same constraint pattern for inference: params replicated, batch sharded."""
     rep = replicated(mesh)
-    sh = batch_sharding(mesh)
 
     def wrapped(params, *batch_arrays):
         params = jax.device_put(params, rep)
+        sh = _batch_axis_sharding(mesh, batch_arrays[0].shape[0])
         arrays = tuple(jax.device_put(a, sh) for a in batch_arrays)
         return apply_fn(params, *arrays)
 
@@ -53,10 +66,11 @@ def data_parallel_arrays_step(step_fn: Callable, mesh: Mesh) -> Callable:
     signature, e.g. the discriminator step): state replicated, every array
     sharded on its leading (batch) axis."""
     rep = replicated(mesh)
-    sh = batch_sharding(mesh)
 
     def wrapped(state, *arrays):
         state = jax.device_put(state, rep)
+        first = next(a for a in arrays if a is not None)
+        sh = _batch_axis_sharding(mesh, first.shape[0])
         arrays = tuple(
             jax.device_put(a, sh) if a is not None else None for a in arrays
         )
@@ -88,11 +102,20 @@ def data_seq_parallel_step(step_fn: Callable, mesh: Mesh,
     def seq_sharding(ndim):
         return NamedSharding(mesh, P("data", "seq", *([None] * (ndim - 2))))
 
+    n_data = mesh.shape["data"]
+    n_seq = mesh.shape["seq"]
+
     def wrapped(state, batch: Dict, *args):
         state = jax.device_put(state, rep)
         out = {}
+        # Same shard-or-fallback policy as data_parallel_step: a partial
+        # trailing batch replicates (redundant but correct); a point axis
+        # that does not divide the seq axis shards on batch only.
+        b = next(iter(batch.values())).shape[0]
         for k, v in batch.items():
-            if k in seq_keys and v.ndim >= 2:
+            if b % n_data != 0:
+                out[k] = jax.device_put(v, rep)
+            elif k in seq_keys and v.ndim >= 2 and v.shape[1] % n_seq == 0:
                 out[k] = jax.device_put(v, seq_sharding(v.ndim))
             else:
                 out[k] = jax.device_put(v, data_sh)

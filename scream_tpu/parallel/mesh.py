@@ -45,10 +45,14 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // (n_seq * n_model)
-    need = n_data * n_seq * n_model
-    if need > len(devices) or n_data < 1:
+    if n_data < 1 or n_seq < 1 or n_model < 1:
         raise ValueError(
-            f"mesh {n_data}x{n_seq}x{n_model} needs {max(need, n_seq * n_model)} "
+            f"mesh axes must be >= 1, got data={n_data} seq={n_seq} model={n_model}"
+        )
+    need = n_data * n_seq * n_model
+    if need > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_seq}x{n_model} needs {need} "
             f"devices, found {len(devices)}"
         )
     # An explicit smaller mesh uses the leading device subset (e.g.

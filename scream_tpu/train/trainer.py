@@ -44,6 +44,31 @@ def _to_device(batch: Dict[str, np.ndarray], mesh=None) -> Dict[str, jnp.ndarray
     return to_device_maybe_sharded(batch, mesh)
 
 
+def _maybe_dump_gan_sample(trainer, fake, epoch: int) -> None:
+    """Periodic GAN sample-image dump, the reference's QA artifact
+    (`/root/reference/train_3d_match.py:211-214`,
+    `/root/reference/train_open_gf.py:124-128`).
+
+    The directory gate runs BEFORE reading ``state.step``: ``int(step)`` is
+    a blocking device round trip (~35 ms on the tunneled TPU), which must
+    not be paid on every GAN step when dumps are disabled.
+    """
+    if not trainer.sample_img_dir:
+        return
+    step_no = int(trainer.state.step)
+    if step_no % trainer.train_cfg.save_img_iter != 0:
+        return
+    import os
+
+    from scream_tpu.utils.viz import save_depth_image_grid
+
+    os.makedirs(trainer.sample_img_dir, exist_ok=True)
+    save_depth_image_grid(
+        np.asarray(fake[0]),
+        os.path.join(trainer.sample_img_dir, f"epoch{epoch}_step{step_no}.png"),
+    )
+
+
 def _wrap_steps_for_mesh(trainer, mesh) -> None:
     """Wrap a trainer's jitted steps for the mesh: DP (data) or 2-D DP x SP
     (data x seq) for the generator step, DP for the discriminator step.
@@ -104,6 +129,14 @@ class RegistrationTrainer:
         self.optimizer = optim.generator_optimizer(train_cfg, steps_per_epoch, decay_mode)
 
         self.use_gan = train_cfg.use_gan
+        if mesh is not None and self.use_gan:
+            # GSPMD cannot auto-partition the Mosaic splat custom call inside
+            # a sharded step (the same constraint the eval path routes around
+            # with force_xla, ops/nn_pallas.py); under --mesh the GAN renderer
+            # takes the pure-XLA path. The per-device batch shrinks by the
+            # data-axis size, which keeps the XLA max-splat backward in HBM.
+            render_cfg = dataclasses.replace(render_cfg, use_pallas=False)
+            self.render_cfg = render_cfg
         self.disc = PatchDiscriminator(input_nc=2) if self.use_gan else None
         self.disc_optimizer = (
             optim.discriminator_optimizer(train_cfg) if self.use_gan else None
@@ -216,20 +249,7 @@ class RegistrationTrainer:
                     batch["src_mask"], batch["tgt_mask"],
                 )
                 metrics["d_loss"] = d_loss
-                # Periodic sample-image dumps, the reference's GAN QA artifact
-                # (`/root/reference/train_3d_match.py:211-214`).
-                step_no = int(self.state.step)
-                if self.sample_img_dir and step_no % self.train_cfg.save_img_iter == 0:
-                    import os
-
-                    from scream_tpu.utils.viz import save_depth_image_grid
-
-                    os.makedirs(self.sample_img_dir, exist_ok=True)
-                    save_depth_image_grid(
-                        np.asarray(fake[0]),
-                        os.path.join(self.sample_img_dir,
-                                     f"epoch{epoch}_step{step_no}.png"),
-                    )
+                _maybe_dump_gan_sample(self, fake, epoch)
             count += 1
             self.throughput.step(batch["src"].shape[0])
             # Accumulate on device; converting per step would force a sync
@@ -361,6 +381,11 @@ class DEMTrainer:
         steps_per_epoch = max(len(train_loader), 1)
         self.optimizer = optim.generator_optimizer(train_cfg, steps_per_epoch)
         self.use_gan = train_cfg.use_gan
+        if mesh is not None and self.use_gan:
+            # Same Mosaic-under-GSPMD constraint as RegistrationTrainer: the
+            # GAN renderer takes the pure-XLA path inside sharded steps.
+            render_cfg = dataclasses.replace(render_cfg, use_pallas=False)
+            self.render_cfg = render_cfg
         self.disc = PatchDiscriminator(input_nc=2) if self.use_gan else None
         self.disc_optimizer = (
             optim.discriminator_optimizer(train_cfg) if self.use_gan else None
@@ -436,20 +461,7 @@ class DEMTrainer:
                     batch["dem_mask"], batch["dem_coarse_mask"],
                 )
                 metrics["d_loss"] = d_loss
-                # Periodic sample-image dumps — the reference emits them for
-                # OpenGF too (`/root/reference/train_open_gf.py:124-128`).
-                step_no = int(self.state.step)
-                if self.sample_img_dir and step_no % self.train_cfg.save_img_iter == 0:
-                    import os
-
-                    from scream_tpu.utils.viz import save_depth_image_grid
-
-                    os.makedirs(self.sample_img_dir, exist_ok=True)
-                    save_depth_image_grid(
-                        np.asarray(fake[0]),
-                        os.path.join(self.sample_img_dir,
-                                     f"epoch{epoch}_step{step_no}.png"),
-                    )
+                _maybe_dump_gan_sample(self, fake, epoch)
             count += 1
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + v

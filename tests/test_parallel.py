@@ -32,6 +32,12 @@ class TestMesh:
         # ...but asking for more devices than exist fails loudly.
         with pytest.raises(ValueError, match="needs 10 devices"):
             make_mesh(n_data=5, n_seq=2)
+        # A zero/negative axis (e.g. a --mesh data=4,seq=0 typo) must fail at
+        # parse time, not as a cryptic 0-device sharding error downstream.
+        with pytest.raises(ValueError, match="axes must be >= 1"):
+            make_mesh(n_data=4, n_seq=0)
+        with pytest.raises(ValueError, match="axes must be >= 1"):
+            make_mesh(n_data=-2)
 
     def test_shard_batch_divisibility(self):
         m = make_mesh()

@@ -79,6 +79,63 @@ class TestDPTrainerEquivalence:
         out = t.train_epoch(1)
         assert np.isfinite(out["point_loss"])
 
+    def test_partial_trailing_batch_under_mesh(self):
+        """A drop_last=False loader's trailing partial batch (here 20 % 8 =
+        4 pairs on a data=8 mesh) must train, via the replicated fallback in
+        parallel/dp.py — and still match single-device training."""
+        def mk_trainer(mesh):
+            ds = SyntheticPairDataset(length=20, n_src=64, n_tgt=64, seed=11)
+            mk = lambda: PairLoader(ds, batch_size=8, src_capacity=64,
+                                    shuffle=False, num_workers=0)
+            return RegistrationTrainer(
+                mk(), mk(),
+                model_cfg=ModelConfig(d_model=32, num_heads=4, self_layers=1,
+                                      cross_layers=1, dtype="float32"),
+                train_cfg=TrainConfig(batch_size=8, epochs=2),
+                eval_cfg=EvalConfig(icp_max_iter=3),
+                mesh=mesh,
+            )
+
+        single = mk_trainer(None)
+        dp = mk_trainer(make_mesh(n_data=8))
+        single.init()
+        dp.init()
+        single.train_epoch(1)
+        dp.train_epoch(1)
+        for a, b in zip(jax.tree_util.tree_leaves(single.state.params),
+                        jax.tree_util.tree_leaves(dp.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
+
+
+class TestGANUnderMesh:
+    def test_gan_mesh_routes_renderer_to_xla_and_trains(self):
+        """GSPMD cannot partition the Mosaic splat custom call, so a GAN
+        trainer built with a mesh must force the renderer's XLA path
+        (use_pallas=False) — and one adversarial epoch must actually run
+        under the 8-device mesh, updating both networks."""
+        from scream_tpu.config import RenderConfig
+
+        ds = SyntheticPairDataset(length=8, n_src=48, n_tgt=48, seed=5)
+        mk = lambda: PairLoader(ds, batch_size=8, src_capacity=48,
+                                shuffle=False, num_workers=0)
+        tr = RegistrationTrainer(
+            mk(), mk(),
+            model_cfg=ModelConfig(d_model=32, num_heads=4, self_layers=1,
+                                  cross_layers=1, dtype="float32"),
+            train_cfg=TrainConfig(batch_size=8, epochs=2, use_gan=True),
+            eval_cfg=EvalConfig(icp_max_iter=3),
+            render_cfg=RenderConfig(rho=6.0, width=32, multi_view=False),
+            mesh=make_mesh(n_data=8),
+        )
+        assert tr.render_cfg.use_pallas is False
+        tr.init()
+        d0 = jax.tree_util.tree_leaves(tr.disc_state.variables["params"])[0].copy()
+        metrics = tr.train_epoch(1)
+        assert np.isfinite(metrics["g_loss"]) and np.isfinite(metrics["d_loss"])
+        d1 = jax.tree_util.tree_leaves(tr.disc_state.variables["params"])[0]
+        assert not np.allclose(np.asarray(d0), np.asarray(d1))
+
 
 class TestCLIMesh:
     @pytest.fixture
