@@ -45,6 +45,12 @@ def read_las(path: str) -> Tuple[np.ndarray, np.ndarray]:
         head = f.read(375)
     if head[:4] != b"LASF":
         raise ValueError(f"{path}: not a LAS file (missing LASF signature)")
+    # LAS 1.0-1.3 headers are >= 227 bytes; anything shorter is a truncated
+    # download and every unpack below would be garbage (or a struct.error).
+    if len(head) < 227:
+        raise ValueError(
+            f"{path}: truncated LAS header ({len(head)} bytes, need >= 227)"
+        )
 
     offset_to_points = struct.unpack_from("<L", head, 96)[0]
     fmt_byte = head[104]
@@ -53,6 +59,10 @@ def read_las(path: str) -> Tuple[np.ndarray, np.ndarray]:
     version_minor = head[25]
     if version_minor >= 4 and n_points == 0:
         # LAS 1.4 moved the (64-bit) point count past the legacy fields.
+        if len(head) < 255:
+            raise ValueError(
+                f"{path}: truncated LAS 1.4 header ({len(head)} bytes)"
+            )
         n_points = struct.unpack_from("<Q", head, 247)[0]
 
     if fmt_byte & 0xC0:
@@ -61,6 +71,15 @@ def read_las(path: str) -> Tuple[np.ndarray, np.ndarray]:
     fmt = fmt_byte & 0x3F
     if fmt not in _CLASS_OFFSET:
         raise ValueError(f"{path}: unsupported point record format {fmt}")
+    # Record must hold the 12 xyz bytes and the classification byte this
+    # format promises; a corrupt header otherwise turns the reshape/column
+    # reads below into shape errors instead of a diagnosis.
+    min_len = max(12, _CLASS_OFFSET[fmt] + 1)
+    if record_len < min_len:
+        raise ValueError(
+            f"{path}: point record length {record_len} too small for "
+            f"format {fmt} (needs >= {min_len})"
+        )
 
     scale = np.frombuffer(head, "<f8", 3, 131)
     offset = np.frombuffer(head, "<f8", 3, 155)

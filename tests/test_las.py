@@ -62,6 +62,62 @@ class TestLasRoundTrip:
         assert len(pts) == int((cls != 0).sum())
 
 
+class TestMalformedInput:
+    """Corrupt/truncated files must fail with a diagnostic ValueError —
+    never a struct.error, IndexError, or silent garbage coordinates."""
+
+    def _valid(self, tmp_path):
+        rng = np.random.default_rng(1)
+        xyz, cls = _scene(rng, n=64)
+        p = tmp_path / "v.las"
+        las.write_las(str(p), xyz, cls)
+        return p.read_bytes()
+
+    def test_truncation_sweep(self, tmp_path):
+        blob = self._valid(tmp_path)
+        p = tmp_path / "cut.las"
+        # Every prefix length across the header and into the point data
+        # either parses completely or raises ValueError.
+        for cut in [4, 26, 96, 110, 200, 226, 227, 300, len(blob) - 37,
+                    len(blob) - 1]:
+            p.write_bytes(blob[:cut])
+            with pytest.raises(ValueError):
+                las.read_las(str(p))
+        p.write_bytes(blob)
+        xyz, _ = las.read_las(str(p))
+        assert xyz.shape == (64, 3)
+
+    def test_corrupt_record_length(self, tmp_path):
+        blob = bytearray(self._valid(tmp_path))
+        import struct
+
+        struct.pack_into("<H", blob, 105, 4)  # record too small for xyz
+        p = tmp_path / "rl.las"
+        p.write_bytes(bytes(blob))
+        with pytest.raises(ValueError, match="record length"):
+            las.read_las(str(p))
+
+    def test_corrupt_format_byte(self, tmp_path):
+        blob = bytearray(self._valid(tmp_path))
+        blob[104] = 0x2A  # format 42: no such point record format
+        p = tmp_path / "fmt.las"
+        p.write_bytes(bytes(blob))
+        with pytest.raises(ValueError, match="unsupported point record format"):
+            las.read_las(str(p))
+
+    def test_random_garbage_with_signature(self, tmp_path):
+        rng = np.random.default_rng(3)
+        for i in range(8):
+            blob = b"LASF" + rng.integers(0, 256, 371, dtype=np.uint8).tobytes()
+            p = tmp_path / f"g{i}.las"
+            p.write_bytes(blob)
+            try:
+                las.read_las(str(p))
+            except (ValueError, ImportError):
+                pass  # diagnostic error (ImportError = compression bit set
+                # by the random format byte -> routed to the laspy extra)
+
+
 class TestOpenGFPreprocessFromLas:
     def test_cli_preprocess_opengf(self, tmp_path, capsys):
         """End-to-end: synthetic .las scene -> preprocess CLI -> loadable
