@@ -78,6 +78,20 @@ def _replicate_params(params, mesh):
     return jax.device_put(params, replicated(mesh))
 
 
+def _lag1(loader, dispatch):
+    """Lag-1 dispatch/consume pipeline shared by every protocol: dispatch
+    batch k+1 before the blocking host fetch of batch k's result, so the
+    fetch overlaps device compute. Yields ``(result, batch)`` in order."""
+    pending = None
+    for batch in loader:
+        out = dispatch(batch)
+        if pending is not None:
+            yield pending
+        pending = (out, batch)
+    if pending is not None:
+        yield pending
+
+
 def evaluate_registration_per_scene(
     apply_fn: Callable,
     params,
@@ -107,6 +121,12 @@ def evaluate_registration_per_scene(
 
     def _consume(m, batch):
         nonlocal total, success_total, sum_re, sum_te
+        if m.rmse is None:
+            raise ValueError(
+                "the per-scene protocol scores pairs by redwood RMSE and "
+                "needs the covariance sidecars in every batch — build the "
+                "dataset with info sidecars (PairDataset(with_info=True))"
+            )
         re = np.asarray(m.re_deg)
         te = np.asarray(m.te)
         rmse = np.asarray(m.rmse)
@@ -137,22 +157,15 @@ def evaluate_registration_per_scene(
                 scene_re[sc].append(0.0)
                 scene_te[sc].append(0.0)
 
-    # Lag-1 pipeline: dispatch the next batch before fetching the previous
-    # result, so the host fetch overlaps device compute.
     params = _replicate_params(params, mesh)
-    pending = None
-    for batch in loader:
-        m = register_batch(
-            apply_fn, params, _to_device(batch, mesh=mesh),
-            dis_thresh=dis_thresh, corr=corr,
-            icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
-            center_mode=center_mode, spmd=mesh is not None,
-        )
-        if pending is not None:
-            _consume(*pending)
-        pending = (m, batch)
-    if pending is not None:
-        _consume(*pending)
+    dispatch = lambda batch: register_batch(
+        apply_fn, params, _to_device(batch, mesh=mesh),
+        dis_thresh=dis_thresh, corr=corr,
+        icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
+        center_mode=center_mode, spmd=mesh is not None,
+    )
+    for m, batch in _lag1(loader, dispatch):
+        _consume(m, batch)
 
     # Per-scene stat over ALL counted pairs (zeros included for failures),
     # then a plain mean over scenes — the RR and RRE/RTE means cover the
@@ -259,19 +272,14 @@ def evaluate_kitti(
         succ_te += float(te[ok].sum())
 
     params = _replicate_params(params, mesh)
-    pending = None
-    for batch in loader:
-        m = register_batch(
-            apply_fn, params, _to_device(batch, mesh=mesh),
-            dis_thresh=dis_thresh, corr="tgt",
-            icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
-            center_mode=center_mode, spmd=mesh is not None,
-        )
-        if pending is not None:
-            _consume(pending)
-        pending = m
-    if pending is not None:
-        _consume(pending)
+    dispatch = lambda batch: register_batch(
+        apply_fn, params, _to_device(batch, mesh=mesh),
+        dis_thresh=dis_thresh, corr="tgt",
+        icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
+        center_mode=center_mode, spmd=mesh is not None,
+    )
+    for m, _ in _lag1(loader, dispatch):
+        _consume(m)
     return {
         "success_rate": succ / max(total, 1),
         "success_rre": succ_re / max(succ, 1),
@@ -307,16 +315,8 @@ def evaluate_open_gf(apply_fn, params, loader, mesh=None) -> Dict[str, float]:
         tot_mse += float(jnp.sum(mse))
         n += int(cd.shape[0])
 
-    # Lag-1 pipeline, as in the registration evals: dispatch batch k+1
-    # before the blocking host fetch of batch k's metrics.
-    pending = None
-    for batch in loader:
-        out = _dispatch(batch)
-        if pending is not None:
-            _consume(pending)
-        pending = out
-    if pending is not None:
-        _consume(pending)
+    for out, _ in _lag1(loader, _dispatch):
+        _consume(out)
     return {
         "chamfer_x1000": tot_cd / max(n, 1) * 1000.0,
         "height_mae_x1000": tot_mae / max(n, 1) * 1000.0,

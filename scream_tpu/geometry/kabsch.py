@@ -64,6 +64,10 @@ def kabsch(
     Bm = B - centroid_B
 
     # H = Am^T diag(w) Bm — one MXU matmul, no diag materialization.
+    # NB: runs at true fp32 matmul precision — scream_tpu/__init__.py sets
+    # jax_default_matmul_precision="highest" globally, so this einsum does
+    # NOT drop to single-pass bf16 on the MXU (the covariance is
+    # cancellation-sensitive for de-normalized KITTI-scale coordinates).
     H = jnp.einsum(
         "...nc,...nd->...cd", Am * weights[..., None], Bm,
         preferred_element_type=jnp.float32,

@@ -21,7 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from scream_tpu.geometry.pairwise import masked_square_distance
+from scream_tpu.geometry.pairwise import BIG, masked_square_distance
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -48,11 +48,12 @@ def estimate_normals(
     # top_k of negated distances = k nearest (incl. self at distance 0).
     neg_d, idx = jax.lax.top_k(-d2, k_eff)  # (B, N, k)
     # Neighbors that are masked-out padding carry +BIG distance and only
-    # appear when a row has < k valid candidates; weight them out. Batched
+    # appear when a row has < k valid candidates; weight them out (the
+    # distance arm guards a caller that ever bypasses the mask). Batched
     # index gather — NOT take_along_axis over .repeat'ed inputs, which
     # materializes (B, N, N, 3)/(B, N, N) intermediates.
     bi = jnp.arange(B)[:, None, None]
-    nb_valid = (neg_d > -1e30) & mask[bi, idx]
+    nb_valid = (neg_d > -BIG / 2) & mask[bi, idx]
     w = nb_valid.astype(jnp.float32)[..., None]  # (B, N, k, 1)
 
     nb = pts[bi, idx]  # (B, N, k, 3)

@@ -29,6 +29,7 @@ from typing import Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from scream_tpu.geometry.icp import registration_icp
 from scream_tpu.geometry.kabsch import kabsch
@@ -218,15 +219,20 @@ def register_batch(
     if use_icp:
         icp_src, icp_src_mask = src_dn, src_mask
         if icp_subsample is not None and icp_subsample < src_dn.shape[1]:
-            # Strided subsample for the refinement: voxel-key point order is
-            # spatial, so a stride picks a spread subset. The LSQ pose from a
-            # thousand-plus correspondences matches the full-cloud solution to
-            # well under the recall threshold; the reference refines on all
-            # points (`/root/reference/evaluate_3d_match.py:109-114`), so this
+            # Evenly spaced subsample for the refinement: voxel-key point
+            # order is spatial, so spread indices pick a spread subset. (A
+            # floor-stride-then-truncate would drop the whole tail of the
+            # cloud when the capacity does not divide — a contiguous spatial
+            # slab.) The LSQ pose from a thousand-plus correspondences
+            # matches the full-cloud solution to well under the recall
+            # threshold; the reference refines on all points
+            # (`/root/reference/evaluate_3d_match.py:109-114`), so this
             # stays opt-in (bench/throughput paths).
-            step = src_dn.shape[1] // icp_subsample
-            icp_src = src_dn[:, ::step][:, :icp_subsample]
-            icp_src_mask = src_mask[:, ::step][:, :icp_subsample]
+            idx = np.floor(
+                np.arange(icp_subsample) * (src_dn.shape[1] / icp_subsample)
+            ).astype(np.int32)
+            icp_src = src_dn[:, idx]
+            icp_src_mask = src_mask[:, idx]
         T, re, te = _icp_refine_batch(
             icp_src, tgt_dn, icp_src_mask, tgt_mask, sol.transform, gt_T,
             icp_thresh, icp_max_iter, force_xla=spmd,

@@ -99,6 +99,14 @@ class TestThreeDMatchProtocol:
         scene_keys = [k for k in out if k.startswith("rr/")]
         assert len(scene_keys) == 8  # 8 items -> one pair per scene, gap 2 > 1
 
+    def test_missing_covariance_raises_clearly(self):
+        """A loader without the redwood info sidecars must fail with a
+        diagnostic ValueError, not an opaque NoneType comparison deep in the
+        consume loop."""
+        loader = _loader(with_info=False)
+        with pytest.raises(ValueError, match="covariance sidecars"):
+            evaluate_3d_match(_identity_oracle, None, loader)
+
 
 class TestKitti:
     def test_skip_dataset(self):

@@ -91,6 +91,24 @@ class TestRegisterBatch:
         assert np.all(np.asarray(noisy.re_deg) <= np.asarray(no_icp.re_deg) + 1e-4)
         assert np.all(np.asarray(noisy.te) <= np.asarray(no_icp.te) + 1e-5)
 
+    def test_icp_subsample_non_divisible_capacity_covers_tail(self):
+        """icp_subsample with a capacity it does not divide (256 vs 48) must
+        still refine using evenly spread points — the old floor-stride
+        variant silently dropped the tail slab of the cloud — and recover
+        the oracle pose."""
+        b = _batch(overlap=1.0)
+        params = (b["rot"], b["trans"])
+        m = register_batch(_oracle(), params, b, dis_thresh=10.0,
+                           corr="src_pred", icp_thresh=0.5, icp_max_iter=5,
+                           icp_subsample=48)
+        assert float(jnp.max(m.re_deg)) < 0.5
+        assert float(jnp.max(m.te)) < 0.05
+        # The spread-index formula itself: full range covered, no repeats.
+        n, sub = 256, 48
+        idx = np.floor(np.arange(sub) * (n / sub)).astype(np.int32)
+        assert len(np.unique(idx)) == sub
+        assert idx[-1] >= n - (n + sub - 1) // sub  # tail reached
+
     def test_in_forward_transform(self):
         b = _batch()
         filt = jnp.einsum("bij,bnj->bni", b["rot"], b["src"]) + jnp.swapaxes(b["trans"], -1, -2)
