@@ -433,8 +433,16 @@ def cmd_selftest_tpu(args):
 
 
 def cmd_bench(args):
-    import bench
+    # bench.py lives at the repository root (the driver contract), not in
+    # the package — load it by path so `python -m scream_tpu bench` works
+    # from any working directory.
+    import importlib.util
 
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "bench.py")
+    spec = importlib.util.spec_from_file_location("bench", path)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
     bench.main()
 
 
@@ -444,7 +452,13 @@ def cmd_visualize(args):
     from scream_tpu.data import PairDataset
     from scream_tpu.utils import viz
 
+    # KITTI splits carry their own protocol: unit-cube normalization
+    # (`/root/reference/datasets/kitti.py:268-273`), the -R^T t center hint
+    # (`/root/reference/train_kitti.py:156`), NN 1.5 / ICP 1.0 at
+    # max_iteration 1000 (`/root/reference/evaluate_kitti.py:106-110`).
+    is_kitti = args.split.upper().startswith("KITTI")
     ds = PairDataset(args.root, args.split, with_info=False,
+                     normalize="unit_cube" if is_kitti else "unit_sphere",
                      max_points=args.max_points)
     item = ds[args.item]
     T_gt = np.eye(4)
@@ -469,7 +483,8 @@ def cmd_visualize(args):
 
         model_cfg = _apply_model_overrides(ModelConfig(), args)
         model = PointTransformer(model_cfg)
-        cap = args.max_points or (len(item["src"]) + 64)
+        # Capacity must cover BOTH clouds: src/tgt sizes are independent.
+        cap = args.max_points or (max(len(item["src"]), len(item["tgt"])) + 64)
 
         class _One:
             def __len__(self):
@@ -482,18 +497,25 @@ def cmd_visualize(args):
                                  tgt_capacity=cap)))
         dev = {k: jnp.asarray(v) for k, v in b.items()}
         apply_fn, params = _load_model_params("3dmatch", model_cfg, args.params, dev)
+        from scream_tpu.pipeline.register import gt_center_hint
+
+        center_mode = "neg_rt" if is_kitti else "trans"
+        hint = gt_center_hint(dev["rot"], dev["trans"], center_mode)
         src_pred = apply_fn(params, dev["src"], dev["tgt"], dev["src_mask"],
-                            dev["tgt_mask"], jnp.swapaxes(dev["trans"], -1, -2))
+                            dev["tgt_mask"], hint)
         zero = args.mode == "zero"
         # Zero-overlap protocol: corr = src_pred itself, thresh 0.2
         # (`/root/reference/evaluate_3d_match.py:193-195`); NN thresh 0.1 and
         # ICP max_correspondence_distance 0.1 at Open3D's default 30
         # iterations for the match flow
-        # (`/root/reference/visualize_3d_match.py:73-76,139-151`).
+        # (`/root/reference/visualize_3d_match.py:73-76,139-151`); KITTI uses
+        # its own thresholds (see is_kitti above).
         m = register_batch(apply_fn, params, dev,
-                           dis_thresh=0.2 if zero else 0.1,
+                           dis_thresh=1.5 if is_kitti else (0.2 if zero else 0.1),
                            corr="src_pred" if zero else "tgt",
-                           icp_thresh=0.1, icp_max_iter=30)
+                           icp_thresh=1.0 if is_kitti else 0.1,
+                           icp_max_iter=1000 if is_kitti else 30,
+                           center_mode=center_mode)
         n = int(np.asarray(dev["src_mask"][0]).sum())
         pred = np.asarray(src_pred[0])[:n]
         gt_pos = np.asarray(dev["src"][0])[:n] @ item["rot"].T + item["trans"].reshape(3)
@@ -542,7 +564,9 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("train", help="train a model")
     t.add_argument("task", choices=sorted(TASKS))
     t.add_argument("--root", default="data")
-    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--epochs", type=int, default=None,
+                   help="exclusive bound, reference convention: N runs N-1 "
+                        "training epochs (train_3d_match.py:159)")
     t.add_argument("--batch-size", type=int, default=None)
     t.add_argument("--gan", action="store_true")
     t.add_argument("--checkpoint-dir", default="checkpoints")

@@ -107,7 +107,13 @@ def collate_dem(
         "dem_mask": np.zeros((b, dem_capacity), bool),
         "dem_coarse_mask": np.zeros((b, coarse_capacity), bool),
     }
-    if "center" in items[0]:
+    with_center = ["center" in it for it in items]
+    if any(with_center) and not all(with_center):
+        # Same all-or-none rule as collate_pairs' covariance: a mixed batch
+        # would either KeyError mid-epoch or silently zero some rows'
+        # centers (corrupting patch stitching downstream).
+        raise ValueError("either every item carries 'center' or none does")
+    if with_center[0]:
         batch["center"] = np.zeros((b, 2), np.float32)
     for i, it in enumerate(items):
         batch["dsm"][i], batch["dsm_mask"][i] = pad_cloud(it["dsm"], dsm_capacity)

@@ -68,60 +68,76 @@ class PairLoader:
                 yield self._collate([self.dataset[int(i)] for i in idxs])
             return
 
-        # Background assembly: a thread pool reads items, a bounded queue keeps
-        # `prefetch` ready batches ahead of the consumer.
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+        yield from _queue_iter(
+            batches,
+            lambda pool, idxs: self._collate(
+                list(pool.map(lambda i: self.dataset[int(i)], idxs))
+            ),
+            self.num_workers,
+            self.prefetch,
+        )
 
-        def _put(item) -> bool:
-            # Bounded put that aborts when the consumer goes away — a plain
-            # q.put on a full queue would block forever if iteration is
-            # abandoned early (leaking the thread, pool, and queued batches).
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    # Re-check after a successful put: the consumer may have
-                    # set stop between our is_set check and the put (its drain
-                    # then empties the queue), in which case continuing to
-                    # produce would read up to `prefetch` wasted batches.
-                    return not stop.is_set()
-                except queue.Full:
-                    continue
-            return False
 
-        def producer():
-            # Errors are forwarded to the consumer, never swallowed: a dead
-            # producer without a sentinel would hang the q.get() below.
+def _queue_iter(work, make_batch, num_workers: int, prefetch: int):
+    """Shared producer/queue machinery for the threaded loaders.
+
+    A daemon thread drives a pool that assembles batches ``prefetch`` ahead
+    of the consumer; errors are forwarded (a dead producer without a
+    sentinel would hang the consumer's ``q.get``), and an abandoned
+    iteration winds the producer down instead of leaking it.
+
+    ``work`` is a sequence of work units; ``make_batch(pool, unit)`` builds
+    one collated batch.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # Bounded put that aborts when the consumer goes away — a plain
+        # q.put on a full queue would block forever if iteration is
+        # abandoned early (leaking the thread, pool, and queued batches).
+        while not stop.is_set():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    for idxs in batches:
-                        if stop.is_set():
-                            return
-                        items = list(pool.map(lambda i: self.dataset[int(i)], idxs))
-                        if not _put(self._collate(items)):
-                            return
-                _put(None)
-            except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
-                _put(e)
+                q.put(item, timeout=0.1)
+                # Re-check after a successful put: the consumer may have
+                # set stop between our is_set check and the put (its drain
+                # then empties the queue), in which case continuing to
+                # produce would read up to `prefetch` wasted batches.
+                return not stop.is_set()
+            except queue.Full:
+                continue
+        return False
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+    def producer():
+        try:
+            with ThreadPoolExecutor(num_workers) as pool:
+                for unit in work:
+                    if stop.is_set():
+                        return
+                    if not _put(make_batch(pool, unit)):
+                        return
+            _put(None)
+        except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+            _put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            batch = q.get()
+            if batch is None:
+                return
+            if isinstance(batch, BaseException):
+                raise batch
+            yield batch
+    finally:
+        stop.set()
+        # Unblock a producer parked in q.put, then let it exit.
         try:
             while True:
-                batch = q.get()
-                if batch is None:
-                    return
-                if isinstance(batch, BaseException):
-                    raise batch
-                yield batch
-        finally:
-            stop.set()
-            # Unblock a producer parked in q.put, then let it exit.
-            try:
-                while True:
-                    q.get_nowait()
-            except queue.Empty:
-                pass
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 class BucketedPairLoader:
@@ -197,50 +213,14 @@ class BucketedPairLoader:
                 yield collate_pairs([self.dataset[int(i)] for i in chunk], cap)
             return
 
-        # Same producer/queue pattern as PairLoader: keep `prefetch` batches
-        # ready ahead of the consumer, forward errors, survive abandonment.
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
-
-        def _put(item) -> bool:
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
-        def producer():
-            try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    for cap, chunk in plan:
-                        if stop.is_set():
-                            return
-                        items = list(pool.map(lambda i: self.dataset[int(i)], chunk))
-                        if not _put(collate_pairs(items, cap)):
-                            return
-                _put(None)
-            except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
-                _put(e)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                batch = q.get()
-                if batch is None:
-                    return
-                if isinstance(batch, BaseException):
-                    raise batch
-                yield batch
-        finally:
-            stop.set()
-            try:
-                while True:
-                    q.get_nowait()
-            except queue.Empty:
-                pass
+        yield from _queue_iter(
+            plan,
+            lambda pool, unit: collate_pairs(
+                list(pool.map(lambda i: self.dataset[int(i)], unit[1])), unit[0]
+            ),
+            self.num_workers,
+            self.prefetch,
+        )
 
 
 def _default_size_fn(dataset, i):
@@ -325,7 +305,15 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
 
 
 class DEMLoader(PairLoader):
-    """OpenGF variant: pads dsm/dem/dem_coarse with independent capacities."""
+    """OpenGF variant: pads dsm/dem/dem_coarse.
+
+    ``dsm_capacity`` and ``dem_capacity`` must be EQUAL: OpenGF tiles pair
+    each DEM point with the highest surface point above it
+    (`/root/reference/process_open_gf.py:217-231`), so the model's
+    per-DSM-point prediction is compared index-for-index against the DEM —
+    unequal paddings would misalign the L1 loss and the masks. Only the
+    coarse-DEM capacity is independent.
+    """
 
     def __init__(
         self,
@@ -336,6 +324,12 @@ class DEMLoader(PairLoader):
         coarse_capacity: int,
         **kw,
     ):
+        if dem_capacity != dsm_capacity:
+            raise ValueError(
+                f"dsm_capacity ({dsm_capacity}) and dem_capacity "
+                f"({dem_capacity}) must be equal: DSM and DEM points "
+                f"correspond index-for-index in the OpenGF protocol"
+            )
         super().__init__(dataset, batch_size, src_capacity=dsm_capacity, **kw)
         self.dsm_capacity = dsm_capacity
         self.dem_capacity = dem_capacity

@@ -250,7 +250,12 @@ class KittiOdometry:
         self.augment_shift_range = 2.0
         self.augment_scale_min, self.augment_scale_max = 0.8, 1.2
         self.icp_max_iteration = icp_max_iteration
-        self.rng = np.random.default_rng(seed)
+        # Per-(item, visit) seeded streams, not one shared Generator: loader
+        # worker threads call __getitem__ concurrently (same convention as
+        # datasets._PerItemSeeds).
+        from scream_tpu.data.datasets import _PerItemSeeds
+
+        self._seeds = _PerItemSeeds(seed)
         self._pose_cache: Dict[int, np.ndarray] = {}
 
         self.files: List[Tuple[int, int, int]] = []
@@ -336,20 +341,21 @@ class KittiOdometry:
             # PREDATOR-style: uniform noise, z-heavy random rotation of one
             # side, global scale, independent shifts
             # (`/root/reference/datasets/kitti.py:155-181`).
-            src = src + (self.rng.random(src.shape) - 0.5) * self.augment_noise
-            tgt = tgt + (self.rng.random(tgt.shape) - 0.5) * self.augment_noise
-            euler = self.rng.random(3) * 2 * np.pi
+            rng = self._seeds.rng(idx)
+            src = src + (rng.random(src.shape) - 0.5) * self.augment_noise
+            tgt = tgt + (rng.random(tgt.shape) - 0.5) * self.augment_noise
+            euler = rng.random(3) * 2 * np.pi
             R = extrinsic_zyx_rotation(euler)
-            if self.rng.random() > 0.5:
+            if rng.random() > 0.5:
                 src = src @ R.T
             else:
                 tgt = tgt @ R.T
-            scale = self.rng.uniform(self.augment_scale_min, self.augment_scale_max)
+            scale = rng.uniform(self.augment_scale_min, self.augment_scale_max)
             src, tgt = src * scale, tgt * scale
-            src = src + self.rng.uniform(-self.augment_shift_range,
-                                         self.augment_shift_range, 3)
-            tgt = tgt + self.rng.uniform(-self.augment_shift_range,
-                                         self.augment_shift_range, 3)
+            src = src + rng.uniform(-self.augment_shift_range,
+                                    self.augment_shift_range, 3)
+            tgt = tgt + rng.uniform(-self.augment_shift_range,
+                                    self.augment_shift_range, 3)
 
         return {
             "src": src.astype(np.float32),

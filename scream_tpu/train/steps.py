@@ -90,7 +90,6 @@ def make_registration_train_step(
                 view_mode=render_cfg.view_mode,
                 use_pallas=render_cfg.use_pallas,
             )
-            b, v, c, h, w = fake.shape
             logits = disc_apply(disc_variables, fake, train=False)
             g_loss = generator_hinge_loss(logits)
             total = point_loss + gan_weight * g_loss
@@ -194,7 +193,16 @@ def make_discriminator_step(
         return loss, mut2["batch_stats"]
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step(disc_state: DiscState, fake, real_src, tgt, src_mask, tgt_mask):
+    def step(disc_state: DiscState, fake, real_src, tgt, src_mask, tgt_mask,
+             rot=None, trans=None):
+        if rot is not None:
+            # GT-align the raw source in-jit (real = render of R src + t,
+            # `/root/reference/train_3d_match.py:196-199`). Doing this here
+            # instead of eagerly in the trainer avoids three per-step host
+            # dispatches on the tunneled TPU (~35 ms each).
+            real_src = jnp.einsum("bij,bnj->bni", rot, real_src) + jnp.swapaxes(
+                trans, -1, -2
+            )
         real = render_depth_images(
             real_src, tgt, src_mask, tgt_mask,
             rho=render_cfg.rho, width=render_cfg.width,

@@ -117,7 +117,7 @@ class RegistrationTrainer:
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.mesh = mesh
-        self.model_cfg = dataclasses.replace(model_cfg, remat=model_cfg.remat)
+        self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.eval_cfg = eval_cfg
         self.render_cfg = render_cfg
@@ -241,12 +241,13 @@ class RegistrationTrainer:
             disc_vars = self.disc_state.variables if self.use_gan else None
             self.state, metrics, fake = self.train_step(self.state, batch, disc_vars)
             if self.use_gan:
-                real_src = jnp.einsum(
-                    "bij,bnj->bni", batch["rot"], batch["src"]
-                ) + jnp.swapaxes(batch["trans"], -1, -2)
+                # The GT alignment of the raw source happens inside the
+                # jitted disc step (rot/trans args) — eager einsum/add here
+                # would cost extra per-step dispatches on the tunneled TPU.
                 self.disc_state, d_loss = self.disc_step(
-                    self.disc_state, fake, real_src, batch["tgt"],
+                    self.disc_state, fake, batch["src"], batch["tgt"],
                     batch["src_mask"], batch["tgt_mask"],
+                    batch["rot"], batch["trans"],
                 )
                 metrics["d_loss"] = d_loss
                 _maybe_dump_gan_sample(self, fake, epoch)
@@ -328,6 +329,13 @@ class RegistrationTrainer:
 
     def fit(self, epochs: Optional[int] = None,
             profile_dir: Optional[str] = None) -> Dict[str, float]:
+        """Run ``epochs - 1`` training epochs (numbered 1..epochs-1).
+
+        The exclusive upper bound is deliberate reference parity
+        (`/root/reference/train_3d_match.py:159`: ``for epoch in
+        range(1, epoch_num)``) — the stock 45/120-epoch configs mean 44/119
+        passes there and here. ``epochs=1`` therefore trains nothing.
+        """
         from scream_tpu.utils.profiling import trace
 
         epochs = epochs or self.train_cfg.epochs
@@ -343,11 +351,7 @@ class RegistrationTrainer:
                 + "  ".join(f"{k}: {v:.5f}" for k, v in {**train_metrics, **last_val}.items())
             )
             if self.checkpointer:
-                metric = last_val[
-                    "point_loss"
-                    if self.train_cfg.checkpoint_metric == "point_loss"
-                    else self.train_cfg.checkpoint_metric
-                ]
+                metric = last_val[self.train_cfg.checkpoint_metric]
                 if self.checkpointer.maybe_save(metric, self.state.params):
                     print("checkpoint saved (new best)")
         return last_val
@@ -500,6 +504,13 @@ class DEMTrainer:
 
     def fit(self, epochs: Optional[int] = None,
             profile_dir: Optional[str] = None) -> Dict[str, float]:
+        """Run ``epochs - 1`` training epochs (numbered 1..epochs-1).
+
+        The exclusive upper bound is deliberate reference parity
+        (`/root/reference/train_3d_match.py:159`: ``for epoch in
+        range(1, epoch_num)``) — the stock 45/120-epoch configs mean 44/119
+        passes there and here. ``epochs=1`` therefore trains nothing.
+        """
         from scream_tpu.utils.profiling import trace
 
         epochs = epochs or self.train_cfg.epochs

@@ -98,6 +98,71 @@ class TestVisualize:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         for key in ("predicted", "estimated", "pred_error"):
             assert os.path.getsize(out[key]) > 0
+
+    def test_visualize_capacity_covers_larger_target(self, capsys, tmp_path):
+        """No --max-points and tgt much larger than src: the auto capacity
+        must cover BOTH clouds (it used to be src-size-derived and crashed
+        in pad_cloud for any pair with len(tgt) > len(src)+64)."""
+        import jax
+        import jax.numpy as jnp
+
+        from scream_tpu.config import ModelConfig
+        from scream_tpu.models.point_transformer import PointTransformer
+        from scream_tpu.utils.checkpoint import save_params
+
+        split_dir = tmp_path / "3DMatch_test"
+        split_dir.mkdir(parents=True)
+        rng = np.random.default_rng(1)
+        np.save(split_dir / "src0.npy", rng.standard_normal((40, 3)))
+        np.save(split_dir / "tgt0.npy", rng.standard_normal((160, 3)))
+        np.save(split_dir / "T0.npy", np.eye(4))
+
+        cfg = ModelConfig(d_model=32, num_heads=4, self_layers=1, cross_layers=1,
+                          dtype="float32")
+        params = PointTransformer(cfg).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)), jnp.zeros((1, 64, 3)),
+            jnp.ones((1, 64), bool), jnp.ones((1, 64), bool),
+            jnp.zeros((1, 1, 3)))["params"]
+        save_params(str(tmp_path / "p"), params)
+
+        main(["visualize", "--root", str(tmp_path), "--item", "0",
+              "--out", str(tmp_path / "viz"), "--params", str(tmp_path / "p"),
+              "--d-model", "32", "--self-layers", "1", "--cross-layers", "1"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert os.path.getsize(out["predicted"]) > 0
+
+    def test_visualize_kitti_split_uses_kitti_protocol(self, capsys, tmp_path):
+        """A KITTI_* split routes through the KITTI protocol: unit-cube
+        normalization, the -R^T t hint, NN 1.5 / ICP 1.0 @ 1000 iters."""
+        import jax
+        import jax.numpy as jnp
+
+        from scream_tpu.config import ModelConfig
+        from scream_tpu.models.point_transformer import PointTransformer
+        from scream_tpu.utils.checkpoint import save_params
+
+        split_dir = tmp_path / "KITTI_test"
+        split_dir.mkdir(parents=True)
+        rng = np.random.default_rng(2)
+        np.save(split_dir / "src0.npy", rng.standard_normal((50, 3)) * 10)
+        np.save(split_dir / "tgt0.npy", rng.standard_normal((50, 3)) * 10)
+        np.save(split_dir / "T0.npy", np.eye(4))
+
+        cfg = ModelConfig(d_model=32, num_heads=4, self_layers=1, cross_layers=1,
+                          dtype="float32")
+        params = PointTransformer(cfg).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)), jnp.zeros((1, 64, 3)),
+            jnp.ones((1, 64), bool), jnp.ones((1, 64), bool),
+            jnp.zeros((1, 1, 3)))["params"]
+        save_params(str(tmp_path / "p"), params)
+
+        main(["visualize", "--root", str(tmp_path), "--split", "KITTI_test",
+              "--item", "0", "--out", str(tmp_path / "viz"),
+              "--params", str(tmp_path / "p"), "--max-points", "64",
+              "--d-model", "32", "--self-layers", "1", "--cross-layers", "1"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert os.path.getsize(out["predicted"]) > 0
+        assert np.isfinite(out["re_deg"])
         assert np.isfinite(out["re_deg"])
 
     def test_evaluate_bucketed(self, capsys, tmp_path, monkeypatch):
