@@ -64,12 +64,17 @@ def linear_attention(
     q_mask: Optional[jnp.ndarray] = None,
     kv_mask: Optional[jnp.ndarray] = None,
     eps: float = 1e-6,
+    kv_reduce=None,
 ) -> jnp.ndarray:
     """O(N) linear attention with the elu+1 feature map.
 
     Args:
       q: ``(B, L, H, D)`` queries; k/v: ``(B, S, H, D)`` keys/values.
       q_mask / kv_mask: ``(B, L)`` / ``(B, S)`` validity masks.
+      kv_reduce: optional hook applied to the ``(KV, K_sum)`` pair after the
+        contractions — the sequence-parallel path passes a ``psum`` over the
+        mesh's seq axis here (``scream_tpu/parallel/sp.py``) so both paths
+        share one body and stay numerically identical by construction.
 
     Same contraction order as the reference (`models/transformer.py:28-44`):
     ``KV = K^T V`` then ``out = Q KV / (Q . sum(K))``. The reference divides v
@@ -88,6 +93,8 @@ def linear_attention(
     # (B, H, D, Dv) — tiny: H * D * Dv, independent of sequence length.
     KV = jnp.einsum("bshd,bshv->bhdv", K, v, preferred_element_type=jnp.float32)
     K_sum = jnp.sum(K.astype(jnp.float32), axis=1)  # (B, H, D)
+    if kv_reduce is not None:
+        KV, K_sum = kv_reduce((KV, K_sum))
     Z = 1.0 / (jnp.einsum("blhd,bhd->blh", Q, K_sum, preferred_element_type=jnp.float32) + eps)
     out = jnp.einsum("blhd,bhdv->blhv", Q, KV, preferred_element_type=jnp.float32)
     out = out * Z[..., None]

@@ -109,8 +109,14 @@ def radius_has_neighbor(query: np.ndarray, ref: np.ndarray, radius: float) -> np
     if lib is None:
         from scipy.spatial import cKDTree
 
-        d, _ = cKDTree(r).query(q, distance_upper_bound=radius)
-        return np.isfinite(d)
+        if len(r) == 0:
+            return np.zeros(len(q), dtype=bool)
+        # query_ball_point is inclusive at the radius, matching the native
+        # dist2 <= r*r (pointops.cpp) and Open3D search_radius_vector_3d
+        # (/root/reference/utils.py:99); cKDTree.query's
+        # distance_upper_bound would be exclusive at the bound.
+        counts = cKDTree(r).query_ball_point(q, radius, return_length=True)
+        return np.asarray(counts) > 0
     out = np.empty(len(q), dtype=np.uint8)
     lib.radius_has_neighbor(
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(q),
@@ -128,6 +134,8 @@ def radius_count(query: np.ndarray, ref: np.ndarray, radius: float) -> np.ndarra
     if lib is None:
         from scipy.spatial import cKDTree
 
+        if len(r) == 0:
+            return np.zeros(len(q), dtype=np.int32)
         tree = cKDTree(r)
         return np.asarray(
             [len(x) for x in tree.query_ball_point(q, radius)], dtype=np.int32
@@ -150,10 +158,17 @@ def highest_in_radius_2d(query: np.ndarray, ref: np.ndarray, radius: float) -> n
     if lib is None:
         from scipy.spatial import cKDTree
 
-        tree = cKDTree(r[:, :2])
         out = np.full(len(q), -1, dtype=np.int32)
+        if len(r) == 0:
+            return out
+        tree = cKDTree(r[:, :2])
         for i, nbrs in enumerate(tree.query_ball_point(q[:, :2], radius)):
             if nbrs:
+                # Sorted so equal-height ties pick the lowest index — the
+                # same deterministic rule as the native path (pointops.cpp
+                # highest_in_radius_2d), keeping preprocessing output
+                # toolchain-independent.
+                nbrs = sorted(nbrs)
                 out[i] = nbrs[int(np.argmax(r[nbrs, 2]))]
         return out
     out = np.empty(len(q), dtype=np.int32)

@@ -99,6 +99,10 @@ struct Grid {
 
 void build_grid(Grid& g, const double* pts, int64_t m, double radius) {
   g.cell = radius > 0 ? radius : 1.0;
+  if (m <= 0) {  // empty reference cloud: no buckets, every query misses
+    for (int d = 0; d < 3; ++d) { g.origin[d] = 0.0; g.dims[d] = 1; }
+    return;
+  }
   double mx[3];
   for (int d = 0; d < 3; ++d) { g.origin[d] = pts[d]; mx[d] = pts[d]; }
   for (int64_t i = 1; i < m; ++i)
@@ -199,8 +203,12 @@ void highest_in_radius_2d(const double* query, int64_t n, const double* ref,
     for_neighbors(g, q2, [&](int32_t j) {
       double dx = query[i * 3] - ref[j * 3];
       double dy = query[i * 3 + 1] - ref[j * 3 + 1];
-      if (dx * dx + dy * dy <= r2 && ref[j * 3 + 2] > best_z) {
-        best_z = ref[j * 3 + 2];
+      if (dx * dx + dy * dy > r2) return;
+      double z = ref[j * 3 + 2];
+      // Equal heights tie-break to the lowest index (bucket scan order is
+      // arbitrary) — same deterministic rule as the numpy/scipy fallback.
+      if (z > best_z || (z == best_z && (best < 0 || j < best))) {
+        best_z = z;
         best = j;
       }
     });

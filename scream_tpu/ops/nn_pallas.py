@@ -5,9 +5,11 @@ The NN search is the framework's hottest op: the pose solve does one per pair
 (`scream_tpu/geometry/icp.py` — 30+ per pair). The XLA formulation
 materializes the N x M squared-distance matrix in HBM and then min-reduces
 it; this kernel keeps each distance tile in VMEM and accumulates a running
-(min, argmin, winner-coordinates) into tile-sized outputs. Returning the
-winning point's coordinates directly removes the downstream random gather
-``dst[idx]`` (slow on TPU) from ICP and the pose solve.
+(min, argmin) into tile-sized outputs. The winning point's coordinates are
+then fetched with one ``dst[idx]`` gather on the result — an in-kernel
+one-hot winner-coordinate accumulator was tried and removed: it doubled
+VMEM pressure and cost ~40% end-to-end throughput (see
+``nearest_neighbor_pallas``).
 
 Layout: distances are computed *transposed* — dst rows in sublanes, src rows
 in lanes — so the per-src-point reduction runs over sublanes and lands in the
@@ -252,7 +254,8 @@ def nearest_neighbor_bounded(
     (src-tile, dst-tile) pairs have bounding boxes farther apart than the
     threshold and skip the distance tile entirely — the skip matrix is a
     scalar-prefetch operand and pruned blocks cost one grid step, no VPU
-    work. Falls back to the exact kernel path off-TPU.
+    work. TPU-only (Mosaic) unless ``interpret=True``; off-TPU callers route
+    to the XLA formulation themselves (``scream_tpu/geometry/icp.py:_nn``).
     """
     n, m = src.shape[0], dst.shape[0]
     n_pad = _round_up(max(n, tile_n), tile_n)

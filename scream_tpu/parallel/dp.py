@@ -18,11 +18,13 @@ from scream_tpu.parallel.mesh import batch_sharding, replicated
 
 def _batch_axis_sharding(mesh: Mesh, batch_size: int):
     """Leading-axis sharding when the batch divides the data axis, replicated
-    otherwise — the same shard-or-fallback policy as
-    ``parallel.mesh.to_device_maybe_sharded``. A trailing partial batch from
-    a drop_last=False loader then computes redundantly on every device
-    (identical updates, still correct) instead of raising a divisibility
-    error from ``device_put``.
+    otherwise. A trailing partial batch from a drop_last=False loader then
+    computes redundantly on EVERY mesh device (identical updates, still
+    correct) instead of raising a divisibility error from ``device_put``.
+    Note this differs from ``parallel.mesh.to_device_maybe_sharded``, whose
+    indivisible-batch fallback leaves arrays on the single default device —
+    budget HBM for the replicated case here (e.g. the GAN renderer), not the
+    single-device one.
     """
     if batch_size % mesh.shape["data"] == 0:
         return batch_sharding(mesh)

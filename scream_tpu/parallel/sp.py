@@ -25,26 +25,20 @@ from jax import shard_map
 
 
 def _local_linear_attention(q, k, v, q_mask, kv_mask, eps, axis_name):
-    """Per-shard body; q/k/v are the local sequence shards ``(B, n_loc, H, D)``."""
-    Q = jax.nn.elu(q) + 1.0
-    K = jax.nn.elu(k) + 1.0
-    if q_mask is not None:
-        Q = Q * q_mask[:, :, None, None].astype(Q.dtype)
-    if kv_mask is not None:
-        K = K * kv_mask[:, :, None, None].astype(K.dtype)
-        v = v * kv_mask[:, :, None, None].astype(v.dtype)
+    """Per-shard body; q/k/v are the local sequence shards ``(B, n_loc, H, D)``.
 
-    KV_local = jnp.einsum("bshd,bshv->bhdv", K, v, preferred_element_type=jnp.float32)
-    K_sum_local = jnp.sum(K.astype(jnp.float32), axis=1)
-    # The only communication: two tiny sequence-independent reductions
-    # (fused into one psum of a pytree by XLA).
-    KV, K_sum = jax.lax.psum((KV_local, K_sum_local), axis_name)
+    One source of truth with the single-device path: this is exactly
+    :func:`scream_tpu.models.attention.linear_attention` with the
+    ``(KV, K_sum)`` pair psum-reduced over the seq axis — the only
+    communication, two tiny sequence-independent reductions (fused into one
+    psum of a pytree by XLA).
+    """
+    from scream_tpu.models.attention import linear_attention
 
-    Z = 1.0 / (
-        jnp.einsum("blhd,bhd->blh", Q, K_sum, preferred_element_type=jnp.float32) + eps
+    return linear_attention(
+        q, k, v, q_mask=q_mask, kv_mask=kv_mask, eps=eps,
+        kv_reduce=lambda kv: jax.lax.psum(kv, axis_name),
     )
-    out = jnp.einsum("blhd,bhdv->blhv", Q, KV, preferred_element_type=jnp.float32)
-    return (out * Z[..., None]).astype(q.dtype)
 
 
 def sequence_parallel_linear_attention(

@@ -63,6 +63,55 @@ class TestRadiusQueries:
         assert idx[0] == 1  # highest z within radius
         assert idx[1] == -1  # nothing nearby
 
+    def test_boundary_inclusive_both_paths(self):
+        # A ref point at EXACTLY the radius must count as a neighbor on both
+        # the native path (dist2 <= r*r, matching Open3D
+        # search_radius_vector_3d, /root/reference/utils.py:99) and the scipy
+        # fallback — cKDTree.query's distance_upper_bound is exclusive, which
+        # is why the fallback uses query_ball_point.
+        q = np.array([[0.0, 0.0, 0.0]])
+        ref = np.array([[1.0, 0.0, 0.0]])
+        assert native.radius_has_neighbor(q, ref, 1.0)[0]
+        assert native.radius_count(q, ref, 1.0)[0] == 1
+        saved = (native._lib, native._tried)
+        try:
+            native._lib, native._tried = None, True  # force scipy fallback
+            assert native.radius_has_neighbor(q, ref, 1.0)[0]
+            assert native.radius_count(q, ref, 1.0)[0] == 1
+        finally:
+            native._lib, native._tried = saved
+
+    def test_empty_reference_cloud_both_paths(self, rng):
+        q = rng.uniform(-1, 1, (7, 3))
+        empty = np.empty((0, 3))
+        for force_fallback in (False, True):
+            saved = (native._lib, native._tried)
+            try:
+                if force_fallback:
+                    native._lib, native._tried = None, True
+                assert not native.radius_has_neighbor(q, empty, 0.5).any()
+                assert (native.radius_count(q, empty, 0.5) == 0).all()
+                assert (native.highest_in_radius_2d(q, empty, 0.5) == -1).all()
+            finally:
+                native._lib, native._tried = saved
+
+    def test_highest_tie_breaks_to_lowest_index_both_paths(self):
+        # Two equal-height candidates in radius: both paths must pick the
+        # lowest index so preprocessing output is toolchain-independent.
+        ref = np.array([
+            [0.1, 0.0, 5.0],
+            [0.0, 0.1, 5.0],
+            [0.0, 0.0, 1.0],
+        ])
+        q = np.array([[0.0, 0.0, 0.0]])
+        assert native.highest_in_radius_2d(q, ref, 1.0)[0] == 0
+        saved = (native._lib, native._tried)
+        try:
+            native._lib, native._tried = None, True
+            assert native.highest_in_radius_2d(q, ref, 1.0)[0] == 0
+        finally:
+            native._lib, native._tried = saved
+
     def test_highest_matches_scipy_random(self, rng):
         from scipy.spatial import cKDTree
 
