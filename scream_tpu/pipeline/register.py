@@ -49,6 +49,17 @@ class RegistrationMetrics(NamedTuple):
     rmse: Optional[jnp.ndarray] = None  # (B,) redwood RMSE when covariance given
 
 
+def spread_subsample_indices(n: int, k: int) -> np.ndarray:
+    """``k`` evenly spaced indices into ``range(n)``: ``floor(i * n / k)``.
+
+    Voxel-key point order is spatial, so spread indices pick a spread subset.
+    A floor-stride-then-truncate (``arange(n)[::n // k][:k]``) would drop the
+    whole tail of the cloud when ``k`` does not divide ``n`` — a contiguous
+    spatial slab. Used by ``register_batch(icp_subsample=...)``.
+    """
+    return np.floor(np.arange(k) * (n / k)).astype(np.int32)
+
+
 def denormalized_gt(
     rot: jnp.ndarray, trans: jnp.ndarray, scale: jnp.ndarray, center: jnp.ndarray
 ) -> jnp.ndarray:
@@ -219,18 +230,13 @@ def register_batch(
     if use_icp:
         icp_src, icp_src_mask = src_dn, src_mask
         if icp_subsample is not None and icp_subsample < src_dn.shape[1]:
-            # Evenly spaced subsample for the refinement: voxel-key point
-            # order is spatial, so spread indices pick a spread subset. (A
-            # floor-stride-then-truncate would drop the whole tail of the
-            # cloud when the capacity does not divide — a contiguous spatial
-            # slab.) The LSQ pose from a thousand-plus correspondences
-            # matches the full-cloud solution to well under the recall
-            # threshold; the reference refines on all points
+            # Evenly spaced subsample for the refinement (see
+            # spread_subsample_indices). The LSQ pose from a thousand-plus
+            # correspondences matches the full-cloud solution to well under
+            # the recall threshold; the reference refines on all points
             # (`/root/reference/evaluate_3d_match.py:109-114`), so this
             # stays opt-in (bench/throughput paths).
-            idx = np.floor(
-                np.arange(icp_subsample) * (src_dn.shape[1] / icp_subsample)
-            ).astype(np.int32)
+            idx = spread_subsample_indices(src_dn.shape[1], icp_subsample)
             icp_src = src_dn[:, idx]
             icp_src_mask = src_mask[:, idx]
         T, re, te = _icp_refine_batch(

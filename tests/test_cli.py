@@ -131,9 +131,12 @@ class TestVisualize:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert os.path.getsize(out["predicted"]) > 0
 
-    def test_visualize_kitti_split_uses_kitti_protocol(self, capsys, tmp_path):
-        """A KITTI_* split routes through the KITTI protocol: unit-cube
-        normalization, the -R^T t hint, NN 1.5 / ICP 1.0 @ 1000 iters."""
+    def test_visualize_kitti_split_uses_kitti_protocol(self, capsys, tmp_path,
+                                                       monkeypatch):
+        """A KITTI_* split routes through the KITTI protocol: the -R^T t
+        hint, NN 1.5 / ICP 1.0 @ 1000 iters (asserted via a register_batch
+        spy — a silent fall-through to the 3DMatch thresholds would still
+        produce a finite PNG)."""
         import jax
         import jax.numpy as jnp
 
@@ -156,6 +159,17 @@ class TestVisualize:
             jnp.zeros((1, 1, 3)))["params"]
         save_params(str(tmp_path / "p"), params)
 
+        import scream_tpu.pipeline.register as R
+
+        captured = {}
+        real_register_batch = R.register_batch
+
+        def spy(apply_fn, params, batch, **kw):
+            captured.update(kw)
+            return real_register_batch(apply_fn, params, batch, **kw)
+
+        monkeypatch.setattr(R, "register_batch", spy)
+
         main(["visualize", "--root", str(tmp_path), "--split", "KITTI_test",
               "--item", "0", "--out", str(tmp_path / "viz"),
               "--params", str(tmp_path / "p"), "--max-points", "64",
@@ -163,7 +177,13 @@ class TestVisualize:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert os.path.getsize(out["predicted"]) > 0
         assert np.isfinite(out["re_deg"])
-        assert np.isfinite(out["re_deg"])
+        assert np.isfinite(out["te"])
+        # The KITTI routing itself (`/root/reference/evaluate_kitti.py:39,
+        # :106-110`): -R^T t hint, NN 1.5, ICP 1.0 @ 1000 iterations.
+        assert captured["center_mode"] == "neg_rt"
+        assert captured["dis_thresh"] == 1.5
+        assert captured["icp_thresh"] == 1.0
+        assert captured["icp_max_iter"] == 1000
 
     def test_evaluate_bucketed(self, capsys, tmp_path, monkeypatch):
         """--bucketed evaluates artifact data grouped by cloud size."""
@@ -198,6 +218,52 @@ class TestVisualize:
               "--bucketed"])
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["n_pairs"] == 4
+
+    def test_evaluate_kitti_wires_skip_items(self, capsys, tmp_path, monkeypatch):
+        """`evaluate kitti` on artifact data must wrap the dataset in
+        SkipDataset((124, 142)) — the reference's skipped eval items
+        (`/root/reference/evaluate_kitti.py:31-34`). Deleting the cli wiring
+        would silently drift n_pairs/success_rate; this pins the call."""
+        import numpy as np
+
+        split = tmp_path / "KITTI_test"
+        split.mkdir(parents=True)
+        rng = np.random.default_rng(3)
+        for i in range(3):
+            np.save(split / f"src{i}.npy", rng.standard_normal((60, 3)) * 5)
+            np.save(split / f"tgt{i}.npy", rng.standard_normal((60, 3)) * 5)
+            np.save(split / f"T{i}.npy", np.eye(4))
+
+        import dataclasses
+
+        import scream_tpu.cli as cli
+        import scream_tpu.config as config
+        import scream_tpu.eval as eval_pkg
+
+        def tiny():
+            m, t, d, e = config.kitti_presets()
+            return (dataclasses.replace(m, d_model=32, num_heads=4, self_layers=1,
+                                        cross_layers=1, dtype="float32"),
+                    t, d, dataclasses.replace(e, icp_max_iter=3))
+
+        monkeypatch.setitem(cli.TASKS, "kitti", tiny)
+
+        captured = {}
+        real_skip = eval_pkg.SkipDataset
+
+        class SpySkip(real_skip):
+            def __init__(self, dataset, skip):
+                captured["skip"] = tuple(skip)
+                super().__init__(dataset, skip)
+
+        # cli binds `from scream_tpu import eval as protocols`, so the
+        # package re-export is the attribute it resolves at call time.
+        monkeypatch.setattr(eval_pkg, "SkipDataset", SpySkip)
+        main(["evaluate", "kitti", "--root", str(tmp_path), "--batch-size", "2",
+              "--max-points", "64"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert captured["skip"] == (124, 142)
+        assert out["n_pairs"] == 3  # 124/142 out of range of the tiny fixture
 
 
 class TestTrainCLI:

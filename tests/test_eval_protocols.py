@@ -99,6 +99,42 @@ class TestThreeDMatchProtocol:
         scene_keys = [k for k in out if k.startswith("rr/")]
         assert len(scene_keys) == 8  # 8 items -> one pair per scene, gap 2 > 1
 
+    def test_idx_gap_filter_excludes_adjacent_pairs(self, monkeypatch):
+        """The PREDATOR |idx1-idx0| > 1 filter must actually drop adjacent
+        pairs from the per-scene stats while they still count in the overall
+        pair totals (`/root/reference/evaluate_3d_match.py:128-138`). Fixture:
+        one scene, two gap-2 pairs that SUCCEED and two gap-1 pairs that
+        FAIL — with the filter the scene recall is 1.0; without it, 0.5."""
+        from types import SimpleNamespace
+
+        import scream_tpu.eval.protocols as P
+
+        def fake_register_batch(apply_fn, params, batch, **kw):
+            return SimpleNamespace(
+                re_deg=np.array([1.0, 3.0, 40.0, 50.0]),
+                te=np.array([0.1, 0.3, 4.0, 5.0]),
+                rmse=np.array([0.1, 0.1, 0.9, 0.9]),
+                n_corr=np.array([10] * 4),
+            )
+
+        monkeypatch.setattr(P, "register_batch", fake_register_batch)
+
+        class OneBatch:
+            def __iter__(self):
+                yield {
+                    "src": np.zeros((4, 8, 3), np.float32),
+                    # gaps: 2, 2, 1, 0 — only the first two pairs are counted
+                    # per-scene.
+                    "idx": np.array([[0, 2], [5, 7], [10, 11], [20, 20]]),
+                    "scene": np.zeros(4, np.int64),
+                }
+
+        out = P.evaluate_registration_per_scene(None, None, OneBatch())
+        assert out["registration_recall"] == 1.0  # gap<=1 failures filtered
+        assert out["rre"] == 2.0  # median([1, 3]): no zero-append from them
+        assert out["n_pairs"] == 4  # ...but they count in the overall totals
+        assert out["pair_recall"] == 0.5
+
     def test_missing_covariance_raises_clearly(self):
         """A loader without the redwood info sidecars must fail with a
         diagnostic ValueError, not an opaque NoneType comparison deep in the
@@ -219,6 +255,11 @@ class TestEvalConfigWiring:
         assert (z.corr, z.dis_thresh, z.re_stat) == ("src_pred", 0.2, "mean")
         k = eval_preset("kitti")
         assert (k.icp_max_iter, k.center_mode, k.dis_thresh) == (1000, "neg_rt", 1.5)
+        # icp_thresh=1.0 is its own reference anchor
+        # (`/root/reference/evaluate_kitti.py:109`) — a regression to the
+        # 3DMatch default 0.1 would run KITTI ICP at a 10x-too-tight
+        # correspondence distance.
+        assert k.icp_thresh == 1.0
         with pytest.raises(ValueError):
             eval_preset("nope")
 
@@ -244,4 +285,39 @@ class TestEvalConfigWiring:
         assert captured["icp_thresh"] == 0.5
         assert captured["icp_max_iter"] == 3
         assert captured["center_mode"] == "trans"
-        assert out["registration_recall"] == 1.0  # rmse_thresh -> everything passes
+        assert out["registration_recall"] == 1.0
+
+    def test_aggregation_knobs_rmse_thresh_and_re_stat(self, monkeypatch):
+        """rmse_thresh and re_stat act on the aggregation side (they never
+        reach register_batch), so pin them with controlled metrics where the
+        honored and the hardcoded-default results differ: rmse [0.1, 0.25,
+        0.3] under thresh 0.28 -> 2/3 recall (default 0.2 would give 1/3),
+        and success REs [1, 8] + one zero-append -> mean 3.0 (median 1.0)."""
+        from types import SimpleNamespace
+
+        from scream_tpu.config import EvalConfig
+        from scream_tpu.eval import protocols as P
+
+        def fake_register_batch(apply_fn, params, batch, **kw):
+            return SimpleNamespace(
+                re_deg=np.array([1.0, 8.0, 30.0]),
+                te=np.array([0.1, 0.8, 3.0]),
+                rmse=np.array([0.1, 0.25, 0.3]),
+                n_corr=np.array([10] * 3),
+            )
+
+        monkeypatch.setattr(P, "register_batch", fake_register_batch)
+
+        class OneBatch:
+            def __iter__(self):
+                yield {
+                    "src": np.zeros((3, 8, 3), np.float32),
+                    "idx": np.array([[0, 2]] * 3),
+                    "scene": np.zeros(3, np.int64),
+                }
+
+        cfg = EvalConfig(re_stat="mean", rmse_thresh=0.28)
+        out = P.evaluate_registration(None, None, OneBatch(), cfg)
+        assert out["registration_recall"] == pytest.approx(2.0 / 3.0)
+        assert out["rre"] == pytest.approx(3.0)  # mean([1, 8, 0]), not median
+        assert out["rte"] == pytest.approx(0.3)  # mean([0.1, 0.8, 0])

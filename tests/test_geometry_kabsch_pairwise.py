@@ -260,4 +260,11 @@ class TestEstimateNormals:
         b = rng.standard_normal((50, 3)).astype(np.float32)
         batched = np.asarray(estimate_normals(jnp.asarray(np.stack([a, b])), k=10))
         single = np.asarray(estimate_normals(jnp.asarray(a), k=10))
-        np.testing.assert_allclose(np.abs(batched[0]), np.abs(single), atol=1e-5)
+        # Whole-vector sign-flip invariance: each row must match up to a
+        # global flip n -> -n (per-component |.| comparison would also
+        # accept genuinely different directions like (x, -y, z)).
+        err = np.minimum(
+            np.linalg.norm(batched[0] - single, axis=-1),
+            np.linalg.norm(batched[0] + single, axis=-1),
+        )
+        np.testing.assert_allclose(err, 0.0, atol=1e-5)

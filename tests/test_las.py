@@ -112,10 +112,17 @@ class TestMalformedInput:
             p = tmp_path / f"g{i}.las"
             p.write_bytes(blob)
             try:
-                las.read_las(str(p))
+                xyz, cls = las.read_las(str(p))
             except (ValueError, ImportError):
-                pass  # diagnostic error (ImportError = compression bit set
-                # by the random format byte -> routed to the laspy extra)
+                continue  # diagnostic error (ImportError = compression bit
+                # set by the random format byte -> routed to the laspy extra)
+            # If a random blob happens to be header-consistent and parses,
+            # the result must still honor the parser's contract — finite
+            # float coordinates with matching class labels, never silent
+            # garbage shapes (the failure mode the class docstring names).
+            assert xyz.ndim == 2 and xyz.shape[1] == 3
+            assert cls.shape == (xyz.shape[0],)
+            assert np.isfinite(xyz).all()
 
 
 class TestOpenGFPreprocessFromLas:

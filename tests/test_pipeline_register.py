@@ -60,6 +60,31 @@ class TestSolvePose:
         assert float(jnp.median(re)) < 2.0
         assert int(jnp.min(sol.n_corr)) > 20
 
+    def test_dis_thresh_is_squared_distance(self):
+        """Pin the SQUARED-distance threshold semantics (CLAUDE.md
+        load-bearing; reference `evaluate_3d_match.py:94-95` thresholds the
+        output of `square_distance`). Correspondences sit at Euclidean 0.25
+        from their NN: d^2 = 0.0625 < dis_thresh 0.1 keeps them; the classic
+        porting drift (comparing Euclidean d < 0.1) would drop every one."""
+        k = 4
+        # k pairs at Euclidean gap 0.25 (in-threshold squared), k at 0.4
+        # (out-of-threshold both ways). Clusters spaced 10 apart so each
+        # src_pred point's NN is its intended partner.
+        centers = np.arange(2 * k, dtype=np.float32)[:, None] * 10.0
+        centers = np.concatenate([centers, np.zeros((2 * k, 2), np.float32)], axis=1)
+        gaps = np.array([0.25] * k + [0.4] * k, np.float32)
+        src_pred = centers
+        tgt = centers + np.stack(
+            [gaps, np.zeros_like(gaps), np.zeros_like(gaps)], axis=1
+        )
+        b1 = lambda x: jnp.asarray(x)[None]
+        ones = jnp.ones((1, 2 * k), bool)
+        sol = solve_pose(
+            b1(src_pred), b1(src_pred), b1(tgt), ones, ones,
+            jnp.ones((1,)), jnp.zeros((1, 3)), dis_thresh=0.1, corr="tgt",
+        )
+        assert int(sol.n_corr[0]) == k
+
     def test_unknown_corr_raises(self):
         b = _batch(n=1)
         with pytest.raises(ValueError):
@@ -103,11 +128,20 @@ class TestRegisterBatch:
                            icp_subsample=48)
         assert float(jnp.max(m.re_deg)) < 0.5
         assert float(jnp.max(m.te)) < 0.05
-        # The spread-index formula itself: full range covered, no repeats.
-        n, sub = 256, 48
-        idx = np.floor(np.arange(sub) * (n / sub)).astype(np.int32)
-        assert len(np.unique(idx)) == sub
-        assert idx[-1] >= n - (n + sub - 1) // sub  # tail reached
+        # The implementation's own index function (used by register_batch):
+        # full range covered, no repeats, tail reached, monotone.
+        from scream_tpu.pipeline.register import spread_subsample_indices
+
+        for n, sub in ((256, 48), (288, 64), (4096, 1024), (100, 100)):
+            idx = spread_subsample_indices(n, sub)
+            assert len(idx) == sub
+            assert len(np.unique(idx)) == sub
+            assert idx[0] == 0 and idx[-1] < n
+            assert np.all(np.diff(idx) > 0)
+            # Tail coverage: the last pick falls in the final stride — the
+            # floor-stride-then-truncate bug left a dropped slab of
+            # n - sub*(n//sub) trailing points (32 of 288 at sub=64).
+            assert idx[-1] >= n - (n + sub - 1) // sub
 
     def test_in_forward_transform(self):
         b = _batch()

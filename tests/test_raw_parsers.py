@@ -151,8 +151,47 @@ class TestKittiOdometry:
         # ICP cache created
         assert len(os.listdir(os.path.join(root, "icp"))) >= 1
 
-    def test_bad_pair_removed_only_in_test(self):
+    def test_bad_pair_removed_only_in_test(self, tmp_path, monkeypatch):
+        """The bad pair (8, 15, 58) is dropped from the TEST pair list and
+        only there (`/root/reference/datasets/kitti.py:82-84`). Pose layout
+        engineered so D3Feat selection yields exactly [(0, 14), (15, 58)]
+        for drive 8; the train-mode list keeps both, the test-mode list
+        drops the bad one."""
         assert KITTI_BAD_TEST_PAIR == (8, 15, 58)
+
+        import scream_tpu.data.raw as raw
+
+        seq = tmp_path / "dataset" / "sequences" / "08" / "velodyne"
+        seq.mkdir(parents=True)
+        # Positions along x. Chain: from 0, frames 1..14 stay within 10 m
+        # (<= 8.4), frame 15 at 10.5 exceeds -> pair (0, 14), next start 15.
+        # From 15, frames 16..58 stay within 10 m (<= 9.46), frame 59 at 21.5
+        # exceeds -> pair (15, 58).
+        x = np.empty(61)
+        x[:15] = np.arange(15) * 0.6
+        x[15:59] = 10.5 + np.arange(44) * 0.22
+        x[59:] = [21.5, 22.5]
+        poses = []
+        for t in range(61):
+            (seq / ("%06d.bin" % t)).touch()  # frame ids come from filenames
+            T = np.eye(4)
+            T[0, 3] = x[t]
+            poses.append(T[:3].reshape(-1))
+        pose_dir = tmp_path / "dataset" / "poses"
+        pose_dir.mkdir(parents=True)
+        np.savetxt(str(pose_dir / "08.txt"), np.asarray(poses))
+
+        # Route drive 8 into both modes so the same fixture exercises each.
+        monkeypatch.setitem(raw.KITTI_SEQUENCES, "train", [8])
+        monkeypatch.setitem(raw.KITTI_SEQUENCES, "test", [8])
+
+        train = KittiOdometry(str(tmp_path), mode="train", strict=False)
+        assert (8, 0, 14) in train.files
+        assert KITTI_BAD_TEST_PAIR in train.files  # kept outside the test split
+
+        test = KittiOdometry(str(tmp_path), mode="test", strict=False)
+        assert (8, 0, 14) in test.files
+        assert KITTI_BAD_TEST_PAIR not in test.files  # dropped in test
 
 
 def test_kitti_strict_fails_fast_on_missing_sequence(tmp_path):
