@@ -124,14 +124,12 @@ def main():
     elapsed = time.time() - t0
     pairs_per_sec = BATCH * ITERS / elapsed
 
-    result = {
+    _emit({
         "metric": "3dmatch_registration_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/sec",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
-    }
-    RESULTS.append(result)
-    print(json.dumps(result))
+    }, stream=sys.stdout)
     print(
         f"# backend={jax.default_backend()} batch={BATCH} n_points={N_POINTS} "
         f"icp_iters={ICP_ITERS} compile={compile_s:.1f}s "
@@ -201,13 +199,17 @@ def suite():
     def emit(metric, value, unit):
         _emit({"metric": metric, "value": round(value, 2), "unit": unit})
 
+    # Same dtype operating point as main()/breakdown() — BENCH_DTYPE=float32
+    # is how the forced-CPU smoke path avoids bf16 dots (see module header).
+    cfg = ModelConfig(dtype=DTYPE, norm_dtype=NORM_DTYPE)
+
     # --- KITTI-sized registration (voxel 0.7 -> ~8k pts, thresholds 1.5/1.0) ---
     B, NP = 8, 8192
     ds = SyntheticPairDataset(length=B, n_src=NP - 512, n_tgt=NP - 256, seed=1,
                               normalize="unit_cube")
     b0 = {k: jnp.asarray(v) for k, v in next(iter(PairLoader(
         ds, batch_size=B, src_capacity=NP, tgt_capacity=NP))).items()}
-    model = PointTransformer(ModelConfig())
+    model = PointTransformer(cfg)
     params = model.init(jax.random.PRNGKey(0), b0["src"], b0["tgt"],
                         b0["src_mask"], b0["tgt_mask"],
                         jnp.swapaxes(b0["trans"], -1, -2))["params"]
@@ -215,9 +217,17 @@ def suite():
     def apply_fn(p, src, tgt, sm, tm, c):
         return model.apply({"params": p}, src, tgt, sm, tm, c)
 
+    # Protocol ICP budget: the KITTI eval runs max_iteration=1000
+    # (`/root/reference/evaluate_kitti.py:69`; CLAUDE.md). The while_loop
+    # exits on Open3D's convergence criteria, so the measured cost reflects
+    # actual iterations to convergence under the 1000-iteration protocol cap
+    # — not a fixed 30-iteration discount.
+    kitti_icp_iters = int(os.environ.get("BENCH_KITTI_ICP_ITERS", 1000))
+
     def kitti_run(b):
         return register_batch(apply_fn, params, b, dis_thresh=1.5, corr="tgt",
-                              icp_thresh=1.0, icp_max_iter=ICP_ITERS).transform
+                              icp_thresh=1.0,
+                              icp_max_iter=kitti_icp_iters).transform
 
     def kitti_input(k):
         b = dict(b0)
@@ -226,8 +236,10 @@ def suite():
         np.asarray(b["src"])
         return b
 
-    emit("kitti_registration_pairs_per_sec", B / _timed(kitti_run, kitti_input),
-         "pairs/sec")
+    _emit({"metric": "kitti_registration_pairs_per_sec",
+           "value": round(B / _timed(kitti_run, kitti_input), 2),
+           "unit": "pairs/sec", "icp_max_iter": kitti_icp_iters,
+           "batch": B, "n_points": NP})
 
     # --- OpenGF DEM generation forward ---
     Bd, Nd = 8, 4096
@@ -244,7 +256,9 @@ def suite():
     db = next(iter(DEMLoader(_Ds(), batch_size=Bd, dsm_capacity=Nd,
                              dem_capacity=Nd, coarse_capacity=Nd // 8)))
     db = {k: jnp.asarray(v) for k, v in db.items()}
-    dem_model = DEMTransformer(ModelConfig(separate_stems=True))
+    import dataclasses
+
+    dem_model = DEMTransformer(dataclasses.replace(cfg, separate_stems=True))
     dem_params = dem_model.init(jax.random.PRNGKey(0), db["dsm"], db["dem_coarse"],
                                 db["dsm_mask"], db["dem_coarse_mask"])["params"]
     dem_fwd = jax.jit(lambda d: dem_model.apply(
@@ -265,7 +279,7 @@ def suite():
     tds = SyntheticPairDataset(length=Bt, n_src=Nt - 128, n_tgt=Nt - 64, seed=2)
     tb = {k: jnp.asarray(v) for k, v in next(iter(PairLoader(
         tds, batch_size=Bt, src_capacity=Nt, tgt_capacity=Nt))).items()}
-    gmodel = PointTransformer(ModelConfig())
+    gmodel = PointTransformer(cfg)
     gparams = gmodel.init(jax.random.PRNGKey(1), tb["src"], tb["tgt"],
                           tb["src_mask"], tb["tgt_mask"],
                           jnp.swapaxes(tb["trans"], -1, -2))["params"]
@@ -393,36 +407,67 @@ def breakdown():
            "unit": "%", "note": "analytic FLOPs vs 197 TF/s v5e bf16 peak"})
 
 
+_FLUSHED = [0]
+
+
+def _flush(path):
+    """Persist everything measured so far — called after every stage AND from
+    the finally block, so a mid-run failure (tunnel drop, OOM) never discards
+    metrics that already cost TPU-minutes to measure."""
+    import platform
+
+    import jax
+
+    if _FLUSHED[0] == len(RESULTS):
+        return
+    _FLUSHED[0] = len(RESULTS)
+
+    payload = {
+        "backend": jax.default_backend(),
+        "batch": BATCH,
+        "n_points": N_POINTS,
+        "icp_iters": ICP_ITERS,
+        "dtype": DTYPE,
+        "host": platform.machine(),
+        "results": RESULTS,
+    }
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"# wrote {len(RESULTS)} metrics to {path}", file=sys.stderr)
+
+
 if __name__ == "__main__":
     # Validate flags BEFORE the multi-minute TPU runs: a forgotten --write
-    # operand must not crash after the suite has already been measured.
+    # operand or a misspelled flag must not be discovered (or silently
+    # ignored) after the suite has already been measured.
     write_path = None
-    if "--write" in sys.argv:
-        i = sys.argv.index("--write")
-        if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("--"):
-            sys.stderr.write("bench.py: --write requires a file path operand\n")
+    args = sys.argv[1:]
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--write":
+            if i + 1 >= len(args) or args[i + 1].startswith("--"):
+                sys.stderr.write("bench.py: --write requires a file path operand\n")
+                sys.exit(2)
+            write_path = args[i + 1]
+            i += 2
+        elif a in ("--suite", "--breakdown"):
+            i += 1
+        else:
+            sys.stderr.write(
+                f"bench.py: unknown argument {a!r} "
+                "(known: --suite --breakdown --write PATH)\n")
             sys.exit(2)
-        write_path = sys.argv[i + 1]
-    main()
-    if "--suite" in sys.argv:
-        suite()
-    if "--breakdown" in sys.argv:
-        breakdown()
-    if write_path is not None:
-        import platform
-
-        path = write_path
-        import jax
-
-        payload = {
-            "backend": jax.default_backend(),
-            "batch": BATCH,
-            "n_points": N_POINTS,
-            "icp_iters": ICP_ITERS,
-            "dtype": DTYPE,
-            "host": platform.machine(),
-            "results": RESULTS,
-        }
-        with open(path, "w") as f:
-            json.dump(payload, f, indent=1)
-        print(f"# wrote {len(RESULTS)} metrics to {path}", file=sys.stderr)
+    try:
+        main()
+        if write_path is not None:
+            _flush(write_path)
+        if "--suite" in args:
+            suite()
+            if write_path is not None:
+                _flush(write_path)
+        if "--breakdown" in args:
+            breakdown()
+    finally:
+        if write_path is not None and RESULTS:
+            _flush(write_path)

@@ -76,13 +76,22 @@ def run_selftest() -> Dict:
     )
     out["bounded_nn_bound_ok"] = bool((np.asarray(bd)[~inl] > 0.01).all())
 
-    # --- ICP with the bounded kernel == ICP trajectories (same transforms) ---
+    # --- ICP parity: bounded-kernel trajectory vs the pure-XLA trajectory ---
+    # A finite-but-wrong bounded path (e.g. a pruning bug dropping valid
+    # correspondence tiles) must fail here, not just a NaN: compare the
+    # converged transform against registration_icp(force_xla=True), which
+    # runs the partitionable XLA NN formulation on identical inputs.
     from scream_tpu.geometry.icp import registration_icp
 
     T0 = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(jnp.asarray([0.05, -0.03, 0.02]))
     res = registration_icp(sb, db, 0.1, init=T0, max_iteration=10)
     out["bounded_icp_finite"] = bool(jnp.all(jnp.isfinite(res.transformation)))
     out["bounded_icp_iterations"] = int(res.iterations)
+    res_xla = registration_icp(sb, db, 0.1, init=T0, max_iteration=10,
+                               force_xla=True)
+    out["bounded_icp_transform_max_err"] = float(
+        jnp.max(jnp.abs(res.transformation - res_xla.transformation))
+    )
 
     # --- splat kernel (compiled, batched) vs the XLA tiled path ---
     sp = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 500, 3)), jnp.float32)
@@ -117,15 +126,32 @@ def run_selftest() -> Dict:
         and out["bounded_nn_max_err"] < 1e-4
         and out["bounded_nn_bound_ok"]
         and out["bounded_icp_finite"]
+        and out["bounded_icp_transform_max_err"] < 1e-3
         and out["splat_max_err"] < 1e-4
         and out["splat_grad_rel_err"] < 1e-3
     )
     return out
 
 
+def _json_safe(obj):
+    """NaN/Inf floats break the one-JSON-line contract (json.dumps emits the
+    non-standard tokens NaN/Infinity) — stringify them instead."""
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, float) and not np.isfinite(obj):
+        return repr(obj)  # "nan" / "inf" / "-inf" as JSON strings
+    return obj
+
+
 def main() -> int:
-    out = run_selftest()
-    print(json.dumps(out))
+    # The driver records stdout verbatim: whatever happens, emit exactly one
+    # parseable JSON line (a raised exception would leave SELFTEST_TPU.json
+    # empty or traceback-corrupted).
+    try:
+        out = run_selftest()
+    except Exception as e:  # Mosaic compile failure, tunnel RPC error, ...
+        out = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(_json_safe(out)))
     return 0 if out.get("ok") else 1
 
 
