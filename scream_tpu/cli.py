@@ -26,6 +26,7 @@ import sys
 from typing import Optional
 
 from scream_tpu.config import (
+    RenderConfig,
     kitti_presets,
     opengf_presets,
     threedmatch_presets,
@@ -88,6 +89,7 @@ def _registration_loaders(task, data_cfg, train_cfg, root, synthetic_len=64,
             ds = PairDataset(
                 root, split, normalize=data_cfg.normalize, augment=augment,
                 perturb_both_sides=data_cfg.perturb_both_sides,
+                perturb_std=data_cfg.augment_perturb_std,
                 jitter_std=data_cfg.augment_jitter_std,
                 max_points=cap,
             )
@@ -202,14 +204,32 @@ def cmd_train(args):
             args.task, data_cfg, train_cfg, args.root,
             multi_scale=getattr(args, "multi_scale", False),
         )
+        render_cfg = RenderConfig()
+        if args.task == "kitti" and train_cfg.use_gan:
+            # The reference switches the renderer for KITTI GAN training:
+            # rho=48, single Ry(pi) back view
+            # (`/root/reference/train_kitti.py:45-48`).
+            from scream_tpu.config import kitti_gan_render_config
+
+            render_cfg = kitti_gan_render_config()
         trainer = RegistrationTrainer(
             train_loader, val_loader,
             model_cfg=model_cfg, train_cfg=train_cfg, eval_cfg=eval_cfg,
+            render_cfg=render_cfg,
             checkpoint_dir=args.checkpoint_dir,
             sample_img_dir=args.sample_img_dir,
             mesh=mesh,
         )
     trainer.init()
+    state_dir = os.path.join(args.checkpoint_dir, "state")
+    if getattr(args, "resume", False):
+        if os.path.isdir(state_dir):
+            trainer.restore_state(state_dir)
+            print(f"[cli] resumed full train state from {state_dir}",
+                  file=sys.stderr)
+        else:
+            print(f"[cli] --resume: no saved state at {state_dir}; "
+                  "starting fresh", file=sys.stderr)
     final = trainer.fit(profile_dir=args.profile_dir)
     print(json.dumps({"final_val": final}))
 
@@ -570,6 +590,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--batch-size", type=int, default=None)
     t.add_argument("--gan", action="store_true")
     t.add_argument("--checkpoint-dir", default="checkpoints")
+    t.add_argument("--resume", action="store_true",
+                   help="restore the full train state (params+optimizer+step)"
+                        " from <checkpoint-dir>/state and continue at the"
+                        " next epoch")
     t.add_argument("--multi-scale", action="store_true",
                    help="size-bucketed loader (one compile per bucket); the "
                         "recipe behind the shipped multi-scale checkpoints")

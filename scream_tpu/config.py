@@ -88,10 +88,12 @@ class TrainConfig:
     adam_b2: float = 0.999
     adam_b1_d: float = 0.5  # discriminator betas (train_3d_match.py:41)
     seed: int = 0
-    checkpoint_dir: str = "checkpoints"
+    # Checkpoint destination is a trainer-constructor / CLI concern
+    # (``--checkpoint-dir``), deliberately NOT a TrainConfig field: a config
+    # field here was dead (never read) and merely appeared to work.
     checkpoint_metric: str = "point_loss"  # or "success_rate", "chamfer"
     save_img_iter: int = 1000
-    log_every: int = 50
+    log_every: int = 50  # trainer batch-counter interval for metric snapshots
 
 
 @dataclasses.dataclass(frozen=True)
@@ -157,19 +159,21 @@ def threedmatch_presets():
         ModelConfig(),
         TrainConfig(),
         DataConfig(max_points=4096, normalize="unit_sphere"),
-        EvalConfig(),
+        eval_preset("3dmatch"),
     )
 
 
 def kitti_presets():
+    # Eval knobs come from eval_preset("kitti") — ONE home for the cited
+    # protocol constants, so CLI evaluate and train-time validation can
+    # never drift apart.
     return (
         ModelConfig(),
         TrainConfig(lr_g=3.2e-4, epochs=120, decay_mode="kitti",
                     checkpoint_metric="success_rate"),
         DataConfig(max_points=8192, normalize="unit_cube", augment_jitter_std=0.0,
                    perturb_both_sides=False),
-        EvalConfig(dis_thresh=1.5, icp_thresh=1.0, icp_max_iter=1000,
-                   center_mode="neg_rt"),
+        eval_preset("kitti"),
     )
 
 
@@ -178,5 +182,5 @@ def opengf_presets():
         ModelConfig(separate_stems=True),
         TrainConfig(checkpoint_metric="chamfer"),
         DataConfig(max_points=8192, normalize="none"),
-        EvalConfig(),
+        eval_preset("opengf"),
     )

@@ -139,6 +139,7 @@ class PairDataset:
         normalize: str = "unit_sphere",
         augment: bool = False,
         perturb_both_sides: bool = True,
+        perturb_std: float = 0.1,
         jitter_std: float = 0.003,
         with_info: bool = False,
         seed: int = 0,
@@ -154,6 +155,7 @@ class PairDataset:
         self.normalize = normalize
         self.augment = augment
         self.perturb_both_sides = perturb_both_sides
+        self.perturb_std = perturb_std
         self.jitter_std = jitter_std
         self.with_info = with_info
         self.max_points = max_points
@@ -184,6 +186,7 @@ class PairDataset:
         if self.augment:
             src, tgt, T = transforms.augment_pair(
                 self._seeds.rng(item), src, tgt, T,
+                perturb_std=self.perturb_std,
                 jitter_std=self.jitter_std,
                 perturb_both_sides=self.perturb_both_sides,
             )

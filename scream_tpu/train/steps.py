@@ -200,9 +200,7 @@ def make_discriminator_step(
             # `/root/reference/train_3d_match.py:196-199`). Doing this here
             # instead of eagerly in the trainer avoids three per-step host
             # dispatches on the tunneled TPU (~35 ms each).
-            real_src = jnp.einsum("bij,bnj->bni", rot, real_src) + jnp.swapaxes(
-                trans, -1, -2
-            )
+            real_src = _gt_aligned_src(real_src, rot, trans)
         real = render_depth_images(
             real_src, tgt, src_mask, tgt_mask,
             rho=render_cfg.rho, width=render_cfg.width,

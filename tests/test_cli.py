@@ -267,6 +267,47 @@ class TestVisualize:
 
 
 class TestTrainCLI:
+    def test_train_kitti_gan_uses_kitti_render_config(self, monkeypatch,
+                                                      tmp_path):
+        """`train kitti --gan` must apply the reference's KITTI GAN renderer
+        override — rho=48, single Ry(pi) back view
+        (`/root/reference/train_kitti.py:45-48`) — previously
+        kitti_gan_render_config() had no caller and the GAN silently trained
+        on rho=24 six-view images."""
+        monkeypatch.chdir(tmp_path)
+        import scream_tpu.train as train_pkg
+
+        captured = {}
+
+        class StubTrainer:
+            def __init__(self, *a, **kw):
+                captured["render_cfg"] = kw.get("render_cfg")
+                captured["train_cfg"] = kw.get("train_cfg")
+
+            def init(self):
+                pass
+
+            def restore_state(self, d):
+                pass
+
+            def fit(self, profile_dir=None):
+                return {}
+
+        monkeypatch.setattr(train_pkg, "RegistrationTrainer", StubTrainer)
+        main(["train", "kitti", "--gan", "--epochs", "2", "--batch-size", "2",
+              "--max-points", "64",
+              "--checkpoint-dir", str(tmp_path / "ck")])
+        rc = captured["render_cfg"]
+        assert rc is not None
+        assert rc.rho == 48.0
+        assert rc.multi_view is False and rc.view_mode == "back"
+        assert captured["train_cfg"].use_gan
+        # ...and without --gan the default renderer stays.
+        main(["train", "kitti", "--epochs", "2", "--batch-size", "2",
+              "--max-points", "64",
+              "--checkpoint-dir", str(tmp_path / "ck")])
+        assert captured["render_cfg"].rho == 24.0
+
     def test_train_opengf_synthetic(self, capsys, monkeypatch, tmp_path):
         """cmd_train drives the DEM trainer end-to-end on synthetic fallback."""
         monkeypatch.chdir(tmp_path)

@@ -349,6 +349,32 @@ class TestAugmentationRNG:
         assert not np.array_equal(e0, e1)
 
 
+class TestPerturbStdWiring:
+    def test_pair_dataset_forwards_perturb_std(self, tmp_path):
+        """DataConfig.augment_perturb_std must actually reach augment_pair:
+        perturb_std=0 + jitter_std=0 makes the augmented item identical to
+        the unaugmented one (the knob was previously dropped on the floor
+        and 0.1 always used)."""
+        from scream_tpu.data.datasets import PairDataset
+
+        rng = np.random.default_rng(5)
+        d = tmp_path / "my_split"
+        d.mkdir()
+        np.save(d / "src0.npy", rng.standard_normal((32, 3)).astype(np.float32))
+        np.save(d / "tgt0.npy", rng.standard_normal((32, 3)).astype(np.float32))
+        np.save(d / "T0.npy", np.eye(4, dtype=np.float32))
+
+        plain = PairDataset(str(tmp_path), "my_split", augment=False)[0]
+        frozen = PairDataset(str(tmp_path), "my_split", augment=True,
+                             perturb_std=0.0, jitter_std=0.0)[0]
+        np.testing.assert_allclose(frozen["src"], plain["src"], atol=1e-6)
+        np.testing.assert_allclose(frozen["rot"], plain["rot"], atol=1e-6)
+        # ...and a nonzero std perturbs (sanity that augment still runs).
+        moved = PairDataset(str(tmp_path), "my_split", augment=True,
+                            perturb_std=0.1, jitter_std=0.0)[0]
+        assert not np.allclose(moved["rot"], plain["rot"], atol=1e-6)
+
+
 class TestCanonicalSizes:
     def test_truncated_split_warns(self, tmp_path):
         from scream_tpu.data.datasets import PairDataset

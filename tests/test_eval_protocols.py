@@ -263,6 +263,21 @@ class TestEvalConfigWiring:
         with pytest.raises(ValueError):
             eval_preset("nope")
 
+    def test_task_presets_share_eval_preset(self):
+        """The task presets must return the SAME eval knobs as eval_preset()
+        — one home for the cited protocol constants, so CLI evaluate and
+        train-time validation cannot drift apart."""
+        from scream_tpu.config import (
+            eval_preset,
+            kitti_presets,
+            opengf_presets,
+            threedmatch_presets,
+        )
+
+        assert threedmatch_presets()[3] == eval_preset("3dmatch")
+        assert kitti_presets()[3] == eval_preset("kitti")
+        assert opengf_presets()[3] == eval_preset("opengf")
+
     def test_evaluate_registration_honors_every_knob(self, monkeypatch):
         """Every EvalConfig field must reach register_batch / the aggregation
         (VERDICT weak #8: rmse_thresh/re_stat were bypassed)."""

@@ -190,6 +190,112 @@ class TestResume:
         m = tr.train_epoch(2)
         assert np.isfinite(m["point_loss"])
 
+    def test_fit_resumes_at_next_epoch(self, tmp_path, capsys):
+        """fit() on a restored state continues after the last completed
+        epoch (derived from the restored step), not from epoch 1 — a resumed
+        run must not re-train the full epoch budget on top of prior
+        progress."""
+        train_loader, val_loader = _loaders(n=4, batch=2, n_pts=48)
+        mk = lambda: RegistrationTrainer(
+            train_loader, val_loader, model_cfg=SMALL_MODEL,
+            train_cfg=TrainConfig(epochs=4, lr_g=1e-3),
+            checkpoint_dir=str(tmp_path / "ck"), val_use_icp=False,
+        )
+        tr = mk()
+        tr.init()
+        tr.fit()  # epochs 1..3; full state saved each epoch to ck/state
+        steps_done = int(tr.state.step)
+        assert steps_done == 3 * tr.steps_per_epoch
+
+        tr2 = mk()
+        tr2.init()
+        tr2.restore_state(str(tmp_path / "ck" / "state"))
+        capsys.readouterr()
+        tr2.fit()  # already complete: trains zero additional steps
+        assert int(tr2.state.step) == steps_done
+        assert "resuming at epoch 4" in capsys.readouterr().out
+
+    def test_fit_partial_resume_trains_remaining_only(self, tmp_path):
+        train_loader, val_loader = _loaders(n=4, batch=2, n_pts=48)
+        cfg = TrainConfig(epochs=4, lr_g=1e-3)
+        tr = RegistrationTrainer(train_loader, val_loader, model_cfg=SMALL_MODEL,
+                                 train_cfg=cfg,
+                                 checkpoint_dir=str(tmp_path / "ck"),
+                                 val_use_icp=False)
+        tr.init()
+        tr.train_epoch(1)
+        tr.save_state(str(tmp_path / "ck" / "state"))
+
+        tr2 = RegistrationTrainer(train_loader, val_loader, model_cfg=SMALL_MODEL,
+                                  train_cfg=cfg, val_use_icp=False)
+        tr2.init()
+        tr2.restore_state(str(tmp_path / "ck" / "state"))
+        tr2.fit()
+        # 1 epoch done pre-restore + epochs 2..3 from fit = 3 epochs total
+        assert int(tr2.state.step) == 3 * tr2.steps_per_epoch
+
+
+class TestTrainerKnobWiring:
+    def test_val_use_icp_defaults_on(self):
+        """Reference-faithful default: both reference train loops refine the
+        validation pose with ICP (`train_3d_match.py:106-153`,
+        `train_kitti.py:106-116`) before the metrics that gate best-
+        checkpoint saving."""
+        train_loader, val_loader = _loaders(n=4, batch=2, n_pts=48)
+        tr = RegistrationTrainer(train_loader, val_loader, model_cfg=SMALL_MODEL)
+        assert tr.val_use_icp is True
+
+    def test_log_every_reaches_logger(self):
+        train_loader, val_loader = _loaders(n=4, batch=2, n_pts=48)
+        tr = RegistrationTrainer(train_loader, val_loader, model_cfg=SMALL_MODEL,
+                                 train_cfg=TrainConfig(log_every=7))
+        assert tr.logger.print_every == 7
+
+    def test_dem_trainer_honors_seed_and_checkpoint_metric(self, tmp_path,
+                                                           monkeypatch):
+        """DEMTrainer must honor TrainConfig.seed and checkpoint_metric the
+        same way RegistrationTrainer does (they silently diverged)."""
+        from scream_tpu.data import DEMLoader
+        from scream_tpu.data.synthetic import make_dem_patch
+        from scream_tpu.train.trainer import DEMTrainer
+        import scream_tpu.train.trainer as T
+
+        class _P:
+            def __len__(self):
+                return 2
+
+            def __getitem__(self, i):
+                return make_dem_patch(np.random.default_rng(i), 48, 48)
+
+        mk = lambda: DEMLoader(_P(), batch_size=2, dsm_capacity=64,
+                               dem_capacity=64, coarse_capacity=16)
+        dem_cfg = ModelConfig(d_model=32, num_heads=4, self_layers=1,
+                              cross_layers=1, dtype="float32",
+                              separate_stems=True)
+        cfg = TrainConfig(epochs=2, seed=7, checkpoint_metric="height_mae",
+                          log_every=5)
+        tr = DEMTrainer(mk(), mk(), model_cfg=dem_cfg, train_cfg=cfg,
+                        checkpoint_dir=str(tmp_path / "ck"))
+        assert tr.logger.print_every == 5
+        tr.init()
+        # Same seed contract: init() with no arg uses TrainConfig.seed.
+        tr2 = DEMTrainer(mk(), mk(), model_cfg=dem_cfg, train_cfg=cfg)
+        tr2.init(seed=7)
+        for a, b in zip(jax.tree_util.tree_leaves(tr.state.params),
+                        jax.tree_util.tree_leaves(tr2.state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # checkpoint gate reads the configured metric, not hardcoded chamfer
+        gated = []
+        monkeypatch.setattr(
+            tr.checkpointer, "maybe_save",
+            lambda metric, params: gated.append(float(metric)) or False,
+        )
+        tr.fit(epochs=2)  # one epoch -> one gate call
+        val = tr.evaluate()  # deterministic re-eval of the same params
+        assert len(gated) == 1
+        assert gated[0] == pytest.approx(val["height_mae"], rel=1e-6)
+        assert val["height_mae"] != pytest.approx(val["chamfer"], rel=1e-3)
+
 
 class TestDEMStateResume:
 
