@@ -1,0 +1,64 @@
+"""bench.py driver-surface smoke: the recorded artifact must stay parseable.
+
+Runs bench.py in-process (the forced-CPU conftest backend; a subprocess
+would re-enter the TPU-tunnel sitecustomize) with the smoke env overrides,
+and checks the one-JSON-line contract plus the --write payload.
+"""
+
+import json
+import runpy
+import sys
+
+import pytest
+
+
+SMOKE_ENV = {
+    "BENCH_BATCH": "2",
+    "BENCH_POINTS": "256",
+    "BENCH_ITERS": "2",
+    "BENCH_ICP_ITERS": "2",
+    "BENCH_KITTI_ICP_ITERS": "2",
+    "BENCH_DTYPE": "float32",
+    "BENCH_RANDOM_PARAMS": "1",  # skip the d256 checkpoint load at d256 shapes
+}
+
+
+def _run_bench(monkeypatch, capsys, argv):
+    for k, v in SMOKE_ENV.items():
+        monkeypatch.setenv(k, v)
+    monkeypatch.setattr(sys, "argv", ["bench.py"] + argv)
+    runpy.run_path("bench.py", run_name="__main__")
+    return capsys.readouterr()
+
+
+class TestBenchSmoke:
+    def test_headline_json_line_and_write(self, monkeypatch, capsys, tmp_path):
+        out_path = tmp_path / "bench.json"
+        captured = _run_bench(monkeypatch, capsys, ["--write", str(out_path)])
+        # stdout carries the driver's one JSON line (stderr has the extras).
+        lines = [ln for ln in captured.out.strip().splitlines() if ln.startswith("{")]
+        assert len(lines) == 1
+        rec = json.loads(lines[0])
+        assert rec["metric"] == "3dmatch_registration_pairs_per_sec_per_chip"
+        assert rec["value"] > 0 and rec["unit"] == "pairs/sec"
+        assert "vs_baseline" in rec
+        payload = json.loads(out_path.read_text())
+        assert payload["backend"] == "cpu"
+        metrics = {r["metric"] for r in payload["results"]}
+        assert "3dmatch_registration_pairs_per_sec_per_chip" in metrics
+        assert "3dmatch_registration_pairs_per_sec_icp_subsampled" in metrics
+
+    def test_unknown_flag_rejected_before_measuring(self, monkeypatch, capsys):
+        for k, v in SMOKE_ENV.items():
+            monkeypatch.setenv(k, v)
+        monkeypatch.setattr(sys, "argv", ["bench.py", "--suit"])
+        with pytest.raises(SystemExit) as e:
+            runpy.run_path("bench.py", run_name="__main__")
+        assert e.value.code == 2
+        assert "unknown argument" in capsys.readouterr().err
+
+    def test_write_requires_operand(self, monkeypatch, capsys):
+        monkeypatch.setattr(sys, "argv", ["bench.py", "--write"])
+        with pytest.raises(SystemExit) as e:
+            runpy.run_path("bench.py", run_name="__main__")
+        assert e.value.code == 2
