@@ -109,7 +109,14 @@ class ICPResult(NamedTuple):
 
 
 class _State(NamedTuple):
-    T: jnp.ndarray
+    # T_meas: the transform whose correspondences produced (fitness, rmse);
+    # T_pending: the Kabsch update computed from those same correspondences.
+    # Open3D measures AFTER each update and, on convergence, returns the
+    # transform it just measured — carrying both lets the loop discard the
+    # speculative extra update instead of returning it (exact parity with
+    # RegistrationICP's break).
+    T_meas: jnp.ndarray
+    T_pending: jnp.ndarray
     fitness: jnp.ndarray
     rmse: jnp.ndarray
     prev_fitness: jnp.ndarray
@@ -174,19 +181,28 @@ def registration_icp(
         T_new = jnp.where(n_inlier > 0, T_new, T)
         return T_new, fitness, rmse
 
-    def cond(s: _State):
-        not_converged = (
-            (jnp.abs(s.fitness - s.prev_fitness) > relative_fitness)
-            | (jnp.abs(s.rmse - s.prev_rmse) > relative_rmse)
+    def _converged(s: _State):
+        return (
+            (jnp.abs(s.fitness - s.prev_fitness) <= relative_fitness)
+            & (jnp.abs(s.rmse - s.prev_rmse) <= relative_rmse)
+            & (s.it > 1)  # needs two measured transforms to compare
         )
-        return (s.it < max_iteration) & (not_converged | (s.it == 0))
+
+    def cond(s: _State):
+        return (s.it < max_iteration) & ~_converged(s)
 
     def body(s: _State):
-        T_new, fitness, rmse = step(s.T)
-        return _State(T_new, fitness, rmse, s.fitness, s.rmse, s.it + 1)
+        # One NN pass serves both the metrics at T_pending and the next
+        # Kabsch update — Open3D's GetRegistrationResultAndCorrespondences +
+        # ComputeTransformation per-iteration structure.
+        T_new, fitness, rmse = step(s.T_pending)
+        return _State(s.T_pending, T_new, fitness, rmse, s.fitness, s.rmse,
+                      s.it + 1)
 
+    T0 = init.astype(jnp.float32)
     init_state = _State(
-        T=init.astype(jnp.float32),
+        T_meas=T0,
+        T_pending=T0,
         fitness=jnp.float32(-1.0),
         rmse=jnp.float32(-1.0),
         prev_fitness=jnp.float32(-2.0),
@@ -195,8 +211,18 @@ def registration_icp(
     )
     final = jax.lax.while_loop(cond, body, init_state)
 
-    # Final metrics at the converged transform.
-    src_t = src @ final.T[:3, :3].T + final.T[:3, 3]
+    # Open3D's break fires right after measuring a transform: on early
+    # convergence it returns that measured transform (final.T_meas here),
+    # NOT the speculative extra update the same correspondences produced.
+    # On max_iteration exhaustion every computed update stands (Open3D runs
+    # `for i in range(max_iteration)` updates) -> T_pending.
+    early = _converged(final)
+    T_final = jnp.where(early, final.T_meas, final.T_pending)
+    # Updates actually applied to the returned transform.
+    iters = jnp.where(early, final.it - 1, final.it)
+
+    # Final metrics at the returned transform.
+    src_t = src @ T_final[:3, :3].T + T_final[:3, 3]
     nn_dist, _ = _nn(src_t, tgt, tgt_mask, thresh_sq=thresh_sq,
                      force_xla=force_xla)
     valid = (nn_dist < thresh_sq) & src_mask
@@ -204,7 +230,7 @@ def registration_icp(
     n_inlier = jnp.sum(w)
     fitness = n_inlier / n_valid_src
     rmse = jnp.sqrt(jnp.sum(nn_dist * w) / jnp.clip(n_inlier, 1.0, None))
-    return ICPResult(final.T, fitness, rmse, final.it)
+    return ICPResult(T_final, fitness, rmse, iters)
 
 
 def icp_refine_if_better(

@@ -27,9 +27,11 @@ per-method):
 * ``from_matrix(check=True)`` validity asserts run only on concrete arrays
   (host-side); under tracing they are skipped — use :meth:`is_valid` for an
   on-device check.
-* The reference numpy ``SE3.log`` raises ``NotImplementedError``
-  (`/root/reference/lie/numpy/se3.py:139-141`); here it works (the torch
-  mirror's closed form, `/root/reference/lie/torch/se3.py:137-166`).
+* ``SE3.log`` works here, where BOTH reference mirrors raise
+  ``NotImplementedError`` (`/root/reference/lie/numpy/se3.py:139-141`,
+  `/root/reference/lie/torch/se3.py:137-141`); the V-inverse closed form is
+  this package's own (Sophus-style, ``geometry/se3.py``), inverse-tested
+  against ``SE3.exp``.
 """
 
 from __future__ import annotations
@@ -185,9 +187,14 @@ class SO3(_LieBase):
 
     @staticmethod
     def exp_and_theta(omega: jnp.ndarray) -> ("SO3", jnp.ndarray):
-        """Exp that also returns the rotation angle (so3.py:81-101)."""
+        """Exp that also returns the rotation angle (so3.py:81-101).
+
+        The angle keeps the reference's keepdims shape ``(..., 1)``
+        (``np.linalg.norm(..., keepdims=True)``, so3.py:85) so code ported
+        against it broadcasts identically.
+        """
         omega = jnp.asarray(omega)
-        return SO3(so3f.exp(omega)), jnp.linalg.norm(omega, axis=-1)
+        return SO3(so3f.exp(omega)), jnp.linalg.norm(omega, axis=-1, keepdims=True)
 
     def log(self) -> jnp.ndarray:
         return so3f.log(self.data)
@@ -281,6 +288,14 @@ class SE3(_LieBase):
         vec = jnp.asarray(vec)
         if normalize:
             q = vec[..., :4] / jnp.linalg.norm(vec[..., :4], axis=-1, keepdims=True)
+            if _concrete(vec):
+                # Reference semantics (se3.py:71-73): normalize=True still
+                # ASSERTS the quaternion was near-unit — it fixes rounding
+                # drift, it does not launder a degenerate 7-vector into a
+                # plausible pose.
+                assert np.allclose(
+                    np.asarray(q), np.asarray(vec[..., :4]), atol=1e-3
+                ), "quaternion is too far from unit length to normalize"
             vec = jnp.concatenate([q, vec[..., 4:]], axis=-1)
         elif _concrete(vec):
             n = np.linalg.norm(np.asarray(vec[..., :4]), axis=-1)
@@ -301,8 +316,10 @@ class SE3(_LieBase):
                 ), "Original SE3 is too far from being valid"
             return SE3(_lift(fixed))
         if check and _concrete(mat):
+            # Default atol (5e-5) matches the reference's deliberately loose
+            # fp32 tolerance (so3_common.py:27).
             assert bool(
-                np.all(np.asarray(so3f.is_valid(compact[..., :3, :3], atol=1e-5)))
+                np.all(np.asarray(so3f.is_valid(compact[..., :3, :3])))
             ), "Matrix is not a valid SE(3)"
         return SE3(_lift(compact))
 

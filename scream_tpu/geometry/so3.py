@@ -65,56 +65,76 @@ def log(R: jnp.ndarray) -> jnp.ndarray:
     """Logarithm map: rotation matrix -> rotation vector ``(..., 3)``.
 
     Three-branch ceres-style implementation matching
-    `/root/reference/lie/numpy/so3.py:103-154`:
-      * generic:   w = theta / (2 sin theta) * vee(R - R^T)
+    `/root/reference/lie/numpy/so3.py:103-154` *including its numerics*:
+    ``sin(theta)`` comes from the skew part (``0.5 * ||vee(R - R^T)||``, the
+    same quantity the generic branch divides into) and
+    ``theta = arctan2(sin, cos)`` — NOT from ``arccos(trace)``, whose fp32
+    quantization near pi (~3.5e-4 rad steps) makes ``theta / sin(theta)``
+    inconsistent with the skew magnitude and corrupts rotations within
+    ~3e-3 rad of 180 deg by up to ~60 deg equivalent (measured).
+      * generic:   w = 0.5 * theta / sin(theta) * vee(R - R^T)
       * theta~0:   w = 0.5 * vee(R - R^T)           (1st-order)
-      * theta~pi:  axis from the dominant diagonal of (R + I)/2
+      * sin~0 at pi: |w_i| = theta * sqrt((R_ii - cos)/(1 - cos)), signs
+        from the skew components (reference Case 3)
     """
-    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    # k * 2 sin(theta) where k is the rotation axis.
+    angle_axis = vee(R - jnp.swapaxes(R, -1, -2))
+    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+    trace = jnp.sum(diag, axis=-1)
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    # Safe-input arccos: arccos'(x) is inf at |x|=1, and the zero cotangent
-    # of an untaken where-branch still multiplies it (0*inf=NaN), so the
-    # derivative would NaN exactly at theta=0/pi without the inner clip
-    # (the forward theta shifts by at most ~4.5e-4 rad at the exact
-    # endpoints, on par with f32 arccos precision there). Branch predicates
-    # use the unclipped value under stop_gradient so exact 0/pi still
-    # select their dedicated branches.
-    cos_safe = jnp.clip(cos_theta, -1.0 + 1e-7, 1.0 - 1e-7)
-    theta = jnp.arccos(cos_safe)
-    sin_theta = jnp.sin(theta)
-    theta_pred = jax.lax.stop_gradient(jnp.arccos(cos_theta))
 
-    near_zero = theta_pred < _EPS
-    near_pi = (jnp.pi - theta_pred) < 1e-4
+    # Gradient-safe norm: sqrt'(0) = inf would leak NaN through the untaken
+    # where-branches at the identity.
+    norm_sq = jnp.sum(angle_axis * angle_axis, axis=-1)
+    tiny = norm_sq < 1e-24
+    sin_theta = 0.5 * jnp.sqrt(jnp.where(tiny, 1.0, norm_sq))
+    sin_theta = jnp.minimum(jnp.where(tiny, 0.0, sin_theta), 1.0)
+    theta = jnp.arctan2(sin_theta, cos_theta)
 
-    # Generic branch (safe denominator).
-    denom = jnp.where(near_zero | near_pi, jnp.ones_like(sin_theta), 2.0 * sin_theta)
-    w_generic = (theta / denom)[..., None] * vee(R - jnp.swapaxes(R, -1, -2))
+    # Reference predicate epsilons (`/root/reference/lie/numpy/so3.py:5`
+    # _EPS = 1e-5): Case 3 whenever sin ~ 0 (covers BOTH endpoints), then
+    # Case 1 re-selects the theta ~ 0 half.
+    near_zero_or_pi = sin_theta < 1e-5
+    near_zero = theta < 1e-5
 
-    # Near-zero branch.
-    w_zero = 0.5 * vee(R - jnp.swapaxes(R, -1, -2))
+    # Case 2: usual formula, safe denominator.
+    denom = jnp.where(near_zero_or_pi, 1.0, sin_theta)
+    w_generic = (0.5 * theta / denom)[..., None] * angle_axis
 
-    # Near-pi branch: R ~ I + 2 W^2/pi^2 -> B = (R + I)/2 has axis outer product.
+    # Case 1: theta ~ 0 Taylor.
+    w_zero = 0.5 * angle_axis
+
+    # Case 3: theta ~ pi. Component magnitudes from the diagonal, signs from
+    # the (tiny but sign-carrying) skew components — elementwise, exactly as
+    # the reference's ``vec_pi[angle_axis * sin_theta < 0] *= -1``.
+    ratio = (diag - cos_theta[..., None]) / jnp.clip(
+        (1.0 - cos_theta)[..., None], 1e-6, None
+    )
+    # Lower clip 1e-12 (forward error <= theta*1e-6): sqrt'(0) = inf would
+    # poison gradients of zero axis components in the TAKEN near-pi branch.
+    w_pi = theta[..., None] * jnp.sqrt(jnp.clip(ratio, 1e-12, None))
+    w_pi = jnp.where(angle_axis * sin_theta[..., None] < 0.0, -w_pi, w_pi)
+
+    # Sub-case: EXACT pi (skew part pure rounding noise). The reference's
+    # per-component signs become independently noise-determined there, which
+    # can flip a component's sign RELATIVE to the others — (kx, -ky, kz) is
+    # a different axis than (kx, ky, kz), an error the overall +-k freedom
+    # does not excuse. Recover a sign-coherent axis from a column of
+    # B = (R + I)/2 = k k^T at pi (the dominant-diagonal column).
     B = (R + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)) * 0.5
-    diag = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
-    diag = jnp.clip(diag, 0.0, None)
-    k = jnp.argmax(diag, axis=-1)
-    axis_sq = jnp.clip(diag, 1e-12, None)
-    axis_mag = jnp.sqrt(axis_sq)
-    # column k of B divided by axis_mag[k] gives the axis
-    Bk = jnp.take_along_axis(B, k[..., None, None].repeat(3, axis=-2), axis=-1)[..., 0]
-    mag_k = jnp.take_along_axis(axis_mag, k[..., None], axis=-1)
-    axis = Bk / jnp.clip(mag_k, 1e-12, None)
-    axis = axis / jnp.clip(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-12, None)
-    # Disambiguate sign with the off-diagonal skew part where possible; at
-    # exactly pi the sign doesn't matter (exp(w) == exp(-w)).
-    skew = vee(R - jnp.swapaxes(R, -1, -2))
-    sign = jnp.where(jnp.sum(skew * axis, axis=-1, keepdims=True) < 0.0, -1.0, 1.0)
-    w_pi = theta[..., None] * axis * sign
+    b_diag = jnp.clip(jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]],
+                                axis=-1), 0.0, None)
+    k = jnp.argmax(b_diag, axis=-1)
+    Bk = jnp.take_along_axis(
+        B, k[..., None, None].repeat(3, axis=-2), axis=-1)[..., 0]
+    axis = Bk / jnp.clip(
+        jnp.linalg.norm(Bk, axis=-1, keepdims=True), 1e-12, None)
+    w_exact_pi = theta[..., None] * axis
+    exact_pi = sin_theta < 1e-7
+    w_pi = jnp.where(exact_pi[..., None], w_exact_pi, w_pi)
 
-    w = jnp.where(near_zero[..., None], w_zero, w_generic)
-    w = jnp.where(near_pi[..., None], w_pi, w)
-    return w
+    w = jnp.where(near_zero_or_pi[..., None], w_pi, w_generic)
+    return jnp.where(near_zero[..., None], w_zero, w)
 
 
 def rotation_angle(R: jnp.ndarray) -> jnp.ndarray:
@@ -168,15 +188,29 @@ def quat_from_matrix(R: jnp.ndarray) -> jnp.ndarray:
     q = jnp.where(
         cond0[..., None], q0, jnp.where(cond1[..., None], q1, jnp.where(cond2[..., None], q2, q3))
     )
-    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    # Canonical hemisphere qw >= 0: the reference's generic branch
+    # (qw = 0.5*sqrt(1+trace), so3_common.py:113-121) yields qw >= 0 for
+    # every rotation except within ~sqrt(1e-10) of exactly 180 deg, where
+    # its own sign is rounding-determined anyway; without this flip the
+    # Shepperd branch selection returns -q for ~half the rotations above
+    # 120 deg and elementwise comparisons against reference outputs fail.
+    return q * jnp.where(q[..., 0:1] < 0.0, -1.0, 1.0)
 
 
 def matrix_from_quat(q: jnp.ndarray) -> jnp.ndarray:
     """Unit quaternion (w, x, y, z) -> rotation matrix.
 
     Mirrors quat2rotmat in `/root/reference/lie/numpy/so3_common.py:66-96`.
+    The normalization is where-guarded (not just clipped: sqrt's VJP at 0
+    is still NaN through a clip) so a zero/denormal quaternion (e.g. an
+    untrained pose-regression head) yields the identity with finite
+    gradients instead of an all-NaN matrix.
     """
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    nsq = jnp.sum(q * q, axis=-1, keepdims=True)
+    degen = nsq < 1e-24
+    q = jnp.where(degen, jnp.zeros_like(q).at[..., 0].set(1.0),
+                  q / jnp.sqrt(jnp.where(degen, 1.0, nsq)))
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     row0 = jnp.stack(
         [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], axis=-1
@@ -236,8 +270,12 @@ def sample_small(key: jax.Array, std: float, shape=()) -> jnp.ndarray:
     return exp(axis * theta[..., None])
 
 
-def is_valid(R: jnp.ndarray, atol: float = 1e-5) -> jnp.ndarray:
-    """det(R)==1 and orthogonality check, as in `/root/reference/lie/numpy/so3_common.py:14-29`."""
+def is_valid(R: jnp.ndarray, atol: float = 5e-5) -> jnp.ndarray:
+    """det(R)==1 and orthogonality check, as in
+    `/root/reference/lie/numpy/so3_common.py:14-29` — including its
+    deliberately loose atol=5e-5 ("greater tolerance to handle outputs from
+    float32 algorithms"): a rotation accumulated through a few fp32
+    compositions drifts ~2e-5 off orthogonal and must still validate."""
     eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
     orth = jnp.all(jnp.abs(R @ jnp.swapaxes(R, -1, -2) - eye) < atol, axis=(-2, -1))
     det = jnp.abs(jnp.linalg.det(R) - 1.0) < atol

@@ -53,6 +53,48 @@ class TestSO3:
     def test_log_identity(self):
         assert np.allclose(so3.log(jnp.eye(3)), np.zeros(3), atol=1e-7)
 
+    def test_log_accurate_across_near_pi_band(self, rng):
+        """The fp32 arccos(trace) quantization band: rotations within
+        ~3e-3 rad of 180 deg were corrupted by up to ~60 deg equivalent
+        when theta came from arccos while the axis magnitude came from the
+        skew part (inconsistent sin). The reference derives sin(theta) from
+        ||vee(R - R^T)|| and theta = arctan2(sin, cos)
+        (`/root/reference/lie/numpy/so3.py:119-137`); pin the rebuilt
+        formulation across the whole band."""
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        try:
+            from lie.numpy import SO3 as RefSO3
+        finally:
+            sys.path.remove("/root/reference")
+
+        axis = rng.normal(size=(6, 3))
+        axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+        for eps in (3e-3, 1e-3, 3e-4, 2e-4, 1e-4, 5e-5, 1e-5, 0.0):
+            w = axis * (np.pi - eps)
+            R = Rotation.from_rotvec(w).as_matrix().astype(np.float32)
+            w_log = np.asarray(so3.log(jnp.asarray(R)))
+            # Angle must be right to fp32-matrix precision...
+            ang = np.linalg.norm(w_log, axis=-1)
+            np.testing.assert_allclose(ang, np.pi - eps, atol=5e-4)
+            # ...the rotation must round-trip (residual is the inherent fp32
+            # representation error, measured identical for the reference)...
+            R_rt = Rotation.from_rotvec(w_log).as_matrix()
+            np.testing.assert_allclose(R_rt, R, atol=1e-2)
+            if eps > 0.0:
+                # ...and the vector must MATCH the reference implementation
+                # (direct A/B; at exact pi we deviate deliberately — the
+                # reference's per-component noise signs can flip a component
+                # relative to the others, ours stay sign-coherent).
+                w_ref = RefSO3(R.astype(np.float64)).log()
+                np.testing.assert_allclose(w_log, w_ref, atol=1e-5)
+            else:
+                # Exact pi: exp(log(R)) must still reproduce R tightly —
+                # the case the reference gets wrong (its roundtrip error
+                # here is ~1.8).
+                np.testing.assert_allclose(R_rt, R, atol=1e-5)
+
     def test_rotation_angle(self, rng):
         w = rng.normal(size=(8, 3))
         theta = np.linalg.norm(w, axis=-1) % (2 * np.pi)
@@ -71,6 +113,30 @@ class TestSO3:
         q_scipy_wxyz = np.concatenate([q_scipy[:, 3:], q_scipy[:, :3]], axis=1)
         sign = np.sign(np.sum(np.asarray(q) * q_scipy_wxyz, axis=-1, keepdims=True))
         assert np.allclose(np.asarray(q), q_scipy_wxyz * sign, atol=1e-5)
+
+    def test_quat_from_matrix_canonical_hemisphere(self, rng):
+        """qw >= 0 for every rotation, matching the reference's generic
+        branch (qw = 0.5*sqrt(1+trace) >= 0, so3_common.py:113-121) — the
+        raw Shepperd branch selection returned -q for ~half the rotations
+        above 120 deg, breaking elementwise comparison with reference
+        outputs through SO3.as_quaternion / SE3.as_quat_trans."""
+        angles = rng.uniform(2.0, np.pi - 1e-3, size=200)  # 115-180 deg band
+        axes = rng.normal(size=(200, 3))
+        axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+        R = Rotation.from_rotvec(axes * angles[:, None]).as_matrix()
+        q = np.asarray(so3.quat_from_matrix(jnp.asarray(R, jnp.float32)))
+        assert (q[:, 0] >= 0.0).all()
+        # Still a faithful representation.
+        R_rt = np.asarray(so3.matrix_from_quat(jnp.asarray(q)))
+        np.testing.assert_allclose(R_rt, R, atol=1e-5)
+
+    def test_matrix_from_quat_zero_quat_is_finite(self):
+        """A zero/denormal quaternion (untrained pose head) must yield a
+        finite matrix (identity) and finite gradients, not NaN."""
+        R0 = np.asarray(so3.matrix_from_quat(jnp.zeros(4)))
+        np.testing.assert_allclose(R0, np.eye(3), atol=1e-6)
+        J = jax.jacobian(so3.matrix_from_quat)(jnp.zeros(4))
+        assert np.all(np.isfinite(np.asarray(J)))
 
     def test_euler_zyx_matches_scipy(self, rng):
         e = rng.normal(size=(16, 3))

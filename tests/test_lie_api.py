@@ -148,7 +148,11 @@ class TestGroupOps:
     def test_exp_and_theta(self):
         w = _rand_w((5,))
         R, theta = SO3.exp_and_theta(w)
-        np.testing.assert_allclose(np.asarray(theta), np.linalg.norm(w, axis=-1), atol=1e-6)
+        # Reference keepdims shape (so3.py:85: norm(..., keepdims=True)).
+        assert theta.shape == (5, 1)
+        np.testing.assert_allclose(
+            np.asarray(theta),
+            np.linalg.norm(w, axis=-1, keepdims=True), atol=1e-6)
         np.testing.assert_allclose(np.asarray(R.data), np.asarray(SO3.exp(w).data), atol=1e-6)
 
     def test_jacobians_accept_instances(self):

@@ -87,6 +87,38 @@ class TestICP:
         res = registration_icp(jnp.asarray(src), jnp.asarray(tgt), 0.3, max_iteration=1000)
         assert int(res.iterations) < 10
 
+    def test_convergence_returns_measured_transform(self, rng):
+        """Open3D's break fires after MEASURING a transform and returns that
+        transform — not one more speculative update. With thresholds so
+        loose that the first comparison converges, the loop must return the
+        single-update transform, bit-identical to a max_iteration=1 run
+        (the old loop returned one extra Kabsch update past convergence)."""
+        src, tgt, _ = self._make_pair(rng)  # misaligned: T1 != T2
+        loose = registration_icp(jnp.asarray(src), jnp.asarray(tgt), 0.3,
+                                 max_iteration=1000,
+                                 relative_fitness=10.0, relative_rmse=10.0)
+        one = registration_icp(jnp.asarray(src), jnp.asarray(tgt), 0.3,
+                               max_iteration=1)
+        assert int(loose.iterations) == 1
+        np.testing.assert_allclose(np.asarray(loose.transformation),
+                                   np.asarray(one.transformation), atol=1e-7)
+        # ...and it is genuinely not the two-update transform.
+        two = registration_icp(jnp.asarray(src), jnp.asarray(tgt), 0.3,
+                               max_iteration=2,
+                               relative_fitness=-1.0, relative_rmse=-1.0)
+        assert not np.allclose(np.asarray(loose.transformation),
+                               np.asarray(two.transformation), atol=1e-7)
+
+    def test_max_iteration_counts_updates(self, rng):
+        """On exhaustion the loop performs exactly max_iteration Kabsch
+        updates (Open3D: `for i in range(max_iteration)`), reporting that
+        count."""
+        src, tgt, _ = self._make_pair(rng)
+        res = registration_icp(jnp.asarray(src), jnp.asarray(tgt), 0.3,
+                               max_iteration=3,
+                               relative_fitness=-1.0, relative_rmse=-1.0)
+        assert int(res.iterations) == 3
+
     def test_masked(self, rng):
         src, tgt, T_gt = self._make_pair(rng, n=150)
         src_pad = np.concatenate([src, np.full((50, 3), 50.0, np.float32)])
