@@ -130,12 +130,15 @@ def save_test_splits(
 
 def refine_gt_icp(
     src: np.ndarray, tgt: np.ndarray, init_T: np.ndarray,
-    max_correspondence_distance: float = 0.2, max_iteration: int = 200,
+    max_correspondence_distance: float = 0.2, max_iteration: int = 50000,
 ) -> np.ndarray:
     """ICP-refined GT pose, the on-device stand-in for the reference's
     Open3D refinement of KITTI odometry GT
-    (`/root/reference/datasets/kitti.py:105-126`, max_iter 50,000 — the jax
-    while_loop converges in far fewer fixed-shape iterations)."""
+    (`/root/reference/datasets/kitti.py:105-126`). The default cap matches
+    the reference's ``ICPConvergenceCriteria(max_iteration=50000)`` — like
+    Open3D, the loop exits on the relative fitness/RMSE criteria long
+    before the cap, so the faithful cap costs nothing in the converged
+    case (while_loop bounds are dynamic, not unrolled)."""
     import jax.numpy as jnp
 
     from scream_tpu.geometry.icp import registration_icp

@@ -235,11 +235,14 @@ class KittiOdometry:
 
     Expects ``root/dataset/sequences/%02d/velodyne/%06d.bin`` and
     ``root/dataset/poses/%02d.txt``; refined GT caches to ``root/icp/``.
+    ``icp_max_iteration`` defaults to the reference's 50,000 cap
+    (`/root/reference/datasets/kitti.py:116-118`); convergence exits long
+    before it, tests pass a small cap for speed.
     """
 
     def __init__(self, root: str, mode: str = "train",
                  data_augmentation: bool = False, seed: int = 0,
-                 icp_max_iteration: int = 200, strict: bool = True):
+                 icp_max_iteration: int = 50000, strict: bool = True):
         self.root = os.path.join(root, "dataset")
         self.strict = strict
         self.icp_path = os.path.join(root, "icp")
