@@ -381,7 +381,12 @@ def cmd_preprocess(args):
             ds = KittiOdometry(args.root, mode=mode)
             pairs = ((it["src"], it["tgt"], it["rot"], it["trans"])
                      for it in (ds[i] for i in range(len(ds))))
-            n = pp.save_kitti_split(pairs, os.path.join(args.out, f"KITTI_{mode}"))
+            n = pp.save_kitti_split(
+                pairs, os.path.join(args.out, f"KITTI_{mode}"),
+                # Reference test split drops dataset item 1
+                # (`/root/reference/process_kitti.py:44-45`).
+                skip_items=(1,) if mode == "test" else (),
+            )
             print(f"KITTI_{mode}: {n} pairs")
     elif args.task == "3dmatch":
         from scream_tpu.data.raw import ThreeDMatchPredator
@@ -400,6 +405,29 @@ def cmd_preprocess(args):
                      for it in (ds[i] for i in range(len(ds))))
             n = pp.save_train_split(pairs, os.path.join(args.out, out_split))
             print(f"{out_split}: {n} pairs")
+        # Test splits: 3DMatch_test from the 3DMatch metadata; 3DLoMatch +
+        # 3DZeroMatch both from the 3DLoMatch metadata, with the redwood
+        # idx/covariance/scene sidecars the per-scene protocol needs
+        # (`/root/reference/process_3d_match.py:96-234`).
+        for pkl, split_kwargs in (
+            ("3DMatch.pkl",
+             {"match_dir": os.path.join(args.out, "3DMatch_test")}),
+            ("3DLoMatch.pkl",
+             {"lo_dir": os.path.join(args.out, "3DLoMatch_test"),
+              "zero_dir": os.path.join(args.out, "3DZeroMatch_test")}),
+        ):
+            pkl_path = os.path.join(pkl_dir, pkl)
+            if not os.path.exists(pkl_path):
+                print(f"skip test splits from {pkl}: {pkl_path} missing")
+                continue
+            ds = ThreeDMatchPredator(args.root, pkl_path)
+            # Stream item dicts: save_test_splits takes pair fields AND
+            # sidecar info from each dict in one pass (no materialization).
+            counts = pp.save_test_splits(
+                (ds[i] for i in range(len(ds))), **split_kwargs,
+            )
+            print(f"test splits from {pkl}: "
+                  + " ".join(f"{k}={v}" for k, v in counts.items() if v))
     else:
         # OpenGF: .las/.laz scenes -> tiled [dsm | dem] patches
         # (`/root/reference/process_open_gf.py:13-261`). The canonical

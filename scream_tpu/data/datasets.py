@@ -165,9 +165,18 @@ class PairDataset:
         self.scene_names: Optional[List[str]] = None
         if with_info:
             names_path = os.path.join(self.dir, "info", "scene_names.txt")
-            if os.path.exists(names_path):
-                with open(names_path) as f:
-                    self.scene_names = [line.strip() for line in f]
+            # Fail fast like the reference's unconditional open
+            # (`/root/reference/datasets/three_d_match.py:224-226`): without
+            # scene names every pair would silently collate to scene 0 and
+            # the per-scene recall aggregation would average one bucket.
+            if not os.path.exists(names_path):
+                raise FileNotFoundError(
+                    f"{names_path} missing: with_info=True needs the scene-"
+                    "name sidecar (regenerate with preprocess/"
+                    "save_info_sidecars, or pass with_info=False)"
+                )
+            with open(names_path) as f:
+                self.scene_names = [line.strip() for line in f]
 
     def __len__(self) -> int:
         return self.length

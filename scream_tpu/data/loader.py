@@ -89,7 +89,10 @@ def _queue_iter(work, make_batch, num_workers: int, prefetch: int):
     ``work`` is a sequence of work units; ``make_batch(pool, unit)`` builds
     one collated batch.
     """
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    # queue.Queue treats maxsize <= 0 as UNBOUNDED: prefetch=0 would let the
+    # producer buffer the entire epoch (tens of GB of padded batches on the
+    # 3DMatch train split) — clamp to at least one slot.
+    q: "queue.Queue" = queue.Queue(maxsize=max(int(prefetch), 1))
     stop = threading.Event()
 
     def _put(item) -> bool:

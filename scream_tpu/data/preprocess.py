@@ -31,7 +31,11 @@ from scream_tpu.native import (
 
 THREEDMATCH_VOXEL = 0.0625
 KITTI_VOXEL = 0.7
-OVERLAP_RADIUS = 0.0375  # PREDATOR overlap radius for 3DMatch
+# PREDATOR overlap radius for 3DMatch: the reference computes
+# src_overlap_ind at 0.03 (`/root/reference/datasets/three_d_match.py:112`)
+# — the single value raw.py also uses; a different default here would flip
+# pairs across the 0.3/0.1 overlap gates.
+OVERLAP_RADIUS = 0.03
 
 
 def overlap_indices(
@@ -105,26 +109,60 @@ def save_test_splits(
     lo_dir: Optional[str] = None,
     zero_dir: Optional[str] = None,
     voxel_size: float = THREEDMATCH_VOXEL,
+    infos: Optional[Iterable[Dict]] = None,
 ) -> Dict[str, int]:
     """Test artifacts with the reference's overlap gates: match > 0.3,
     lo > 0.1, zero <= 0.3 de-overlapped
-    (`/root/reference/process_3d_match.py:96-177`)."""
+    (`/root/reference/process_3d_match.py:96-177`).
+
+    The reference builds the three splits from TWO pair lists: 3DMatch_test
+    from the "test 3DMatch" metadata (`:96-133`) and 3DLoMatch_test +
+    3DZeroMatch_test both from "test 3DLoMatch" (`:135-177`) — call this
+    once per source list with only the matching dirs, never all three dirs
+    from one list.
+
+    ``pairs`` may yield ``(src, tgt, rot, trans[, overlap_ind])`` tuples OR
+    the raw item dicts of ``ThreeDMatchPredator`` (streamed, one pass); in
+    the dict form the ``idx``/``covariance``/``scene`` fields of each gated
+    pair are written as the split's ``info/`` sidecars
+    (`raw.save_info_sidecars`), keeping artifact and sidecar numbering
+    aligned. ``infos``: explicit aligned info dicts for the tuple form.
+    """
+    from itertools import repeat
+
+    from scream_tpu.data.raw import save_info_sidecars
+
     counts = {"match": 0, "lo": 0, "zero": 0}
+    gated: Dict[str, list] = {"match": [], "lo": [], "zero": []}
+    wrote_infos = False
     for d in (match_dir, lo_dir, zero_dir):
         if d:
             os.makedirs(d, exist_ok=True)
-    for pair in pairs:
+    for pair, info in zip(pairs, infos if infos is not None else repeat(None)):
+        if isinstance(pair, dict):
+            info = pair
+            pair = (pair["src"], pair["tgt"], pair["rot"], pair["trans"],
+                    pair.get("overlap_ind"))
+        if info is not None:
+            wrote_infos = True
         a = make_pair_artifacts(*pair, voxel_size=voxel_size)
         r = a["overlap_ratio"]
         if match_dir and r > 0.3:
             _save_triple(match_dir, counts["match"], a["src"], a["tgt"], a["T"])
             counts["match"] += 1
+            gated["match"].append(info)
         if lo_dir and r > 0.1:
             _save_triple(lo_dir, counts["lo"], a["src"], a["tgt"], a["T"])
             counts["lo"] += 1
+            gated["lo"].append(info)
         if zero_dir and r <= 0.3:
             _save_triple(zero_dir, counts["zero"], a["src_zero"], a["tgt"], a["T"])
             counts["zero"] += 1
+            gated["zero"].append(info)
+    if wrote_infos:
+        for key, d in (("match", match_dir), ("lo", lo_dir), ("zero", zero_dir)):
+            if d and gated[key]:
+                save_info_sidecars(gated[key], d)
     return counts
 
 
@@ -152,11 +190,22 @@ def refine_gt_icp(
 
 
 def save_kitti_split(pairs: Iterable[Tuple], out_dir: str,
-                     voxel_size: float = KITTI_VOXEL) -> int:
-    """KITTI artifacts at voxel 0.7 (`/root/reference/process_kitti.py:39-77`)."""
+                     voxel_size: float = KITTI_VOXEL,
+                     skip_items: Tuple[int, ...] = ()) -> int:
+    """KITTI artifacts at voxel 0.7 (`/root/reference/process_kitti.py:39-77`).
+
+    ``skip_items``: source-dataset indices to drop BEFORE artifact numbering
+    — the reference's test split skips dataset item 1
+    (`process_kitti.py:44-45`: ``if mode == "test" and i == 1: continue``)
+    on top of the (8, 15, 58) bad-pair removal, giving the canonical 554
+    test pairs with every later artifact index shifted down by one.
+    """
     os.makedirs(out_dir, exist_ok=True)
+    skip = set(skip_items)
     item = 0
-    for src, tgt, rot, trans in pairs:
+    for i, (src, tgt, rot, trans) in enumerate(pairs):
+        if i in skip:
+            continue
         T = np.eye(4)
         T[:3, :3] = rot
         T[:3, 3] = np.reshape(trans, 3)
@@ -208,8 +257,20 @@ def tile_opengf_scene(
     stride = stride or tile
     lo = points[:, :2].min(axis=0)
     hi = points[:, :2].max(axis=0)
-    xs = np.arange(lo[0], hi[0] - tile / 2, stride)
-    ys = np.arange(lo[1], hi[1] - tile / 2, stride)
+    # floor((extent - tile)/stride) + 1 starts per axis (min 1): the
+    # reference's FIXED window grids (train 17x17 @ stride 25 on 500 m
+    # files, `process_open_gf.py:83-91`; val 5x5 @ 100; test 26x25 @ 100 on
+    # the 2600x2500 m scene, `:160-165`) fall out of this formula at the
+    # canonical scene sizes — windows start at coor_min, cover
+    # [x0, x0+tile), last start at extent - tile. The 1e-3 slack absorbs
+    # fp/survey jitter in the scene extent (the old `hi - tile/2` bound
+    # emitted an extra row+column of partial edge tiles per axis).
+    def _starts(lo1, hi1):
+        n = max(int(np.floor((hi1 - lo1 - tile + 1e-3) / stride)) + 1, 1)
+        return lo1 + stride * np.arange(n)
+
+    xs = _starts(lo[0], hi[0])
+    ys = _starts(lo[1], hi[1])
     is_ground = np.isin(classes, ground_classes)
 
     for x0 in xs:
@@ -218,20 +279,37 @@ def tile_opengf_scene(
                 (points[:, 0] >= x0) & (points[:, 0] < x0 + tile)
                 & (points[:, 1] >= y0) & (points[:, 1] < y0 + tile)
             )
-            if in_tile.sum() < 100:
-                continue
             tile_pts = points[in_tile]
             tile_ground = points[in_tile & is_ground]
-            if len(tile_ground) < 50:
-                continue
+            # The reference saves EVERY window (no minimum-count gate,
+            # `process_open_gf.py:193-263`) — silently dropping sparse
+            # windows would renumber all later patches away from reference
+            # artifacts. A window with no ground at all cannot produce a
+            # DEM (the reference's DSM loop would crash on it too): fail
+            # loudly instead of renumbering.
+            if len(tile_ground) == 0:
+                raise ValueError(
+                    f"OpenGF window at ({x0:.1f}, {y0:.1f}) contains no "
+                    f"ground points (classes {ground_classes}) — every "
+                    "window must hold ground; check the class channel and "
+                    "scene bounds"
+                )
             dem = voxel_downsample_np(tile_ground, voxel)
-            dsm = extract_dsm(tile_pts, dem)
-            center = np.zeros(3)
-            center[:2] = [x0 + tile / 2, y0 + tile / 2]
+            # The reference extracts the DSM from the voxel-DOWNSAMPLED
+            # patch (`process_open_gf.py:211-231`), not the raw returns:
+            # the highest point is a voxel centroid, not a raw outlier.
+            patch_ds = voxel_downsample_np(tile_pts, voxel)
+            dsm = extract_dsm(patch_ds, dem)
+            # Center on the 3-D bbox center of dsm+dem INCLUDING elevation
+            # (`process_open_gf.py:237-242`) — x/y-only centering at the
+            # tile midpoint would leave absolute terrain height in z and
+            # shift the whole input distribution after the /50 scale.
+            allp = np.concatenate([dsm, dem], axis=0)
+            center = (allp.min(axis=0) + allp.max(axis=0)) * 0.5
             yield {
                 "dsm": (dsm - center).astype(np.float32),
                 "dem": (dem - center).astype(np.float32),
-                "center": center[:2].astype(np.float32),
+                "center": center.astype(np.float32),
             }
 
 

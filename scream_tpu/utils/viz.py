@@ -238,7 +238,9 @@ def stitch_patches(
         pts = np.asarray(pts) * scale_factor
         c = np.asarray(c).reshape(-1)
         shifted = pts.copy()
-        shifted[:, 0] += c[0]
-        shifted[:, 1] += c[1]
+        # Full 3-D center (incl. elevation), as the reference's
+        # `dem_pred * 50 + c` (`visualize_open_gf.py:108`); 2-vector centers
+        # from older artifacts shift x/y only.
+        shifted[:, : len(c)] += c[: shifted.shape[1]]
         out.append(shifted)
     return np.concatenate(out, axis=0)

@@ -349,6 +349,38 @@ class TestAugmentationRNG:
         assert not np.array_equal(e0, e1)
 
 
+class TestLoaderPrefetchClamp:
+    def test_prefetch_zero_stays_bounded(self):
+        """queue.Queue treats maxsize<=0 as UNBOUNDED — prefetch=0 must not
+        let the producer buffer the whole epoch (it is clamped to 1)."""
+        from scream_tpu.data import PairLoader, SyntheticPairDataset
+
+        ds = SyntheticPairDataset(length=6, n_src=32, n_tgt=32)
+        loader = PairLoader(ds, batch_size=2, src_capacity=32, prefetch=0)
+        batches = list(loader)
+        assert len(batches) == 3  # iterates correctly with the clamped queue
+
+
+class TestSceneNamesFailFast:
+    def test_with_info_missing_scene_names_raises(self, tmp_path):
+        """with_info=True without info/scene_names.txt must fail fast — a
+        silent None would collate every pair to scene 0 and collapse the
+        per-scene recall protocol (the reference opens the file
+        unconditionally, three_d_match.py:224-226)."""
+        from scream_tpu.data.datasets import PairDataset
+
+        d = tmp_path / "my_split"
+        info = d / "info"
+        info.mkdir(parents=True)
+        np.save(d / "src0.npy", np.zeros((8, 3), np.float32))
+        np.save(d / "tgt0.npy", np.zeros((8, 3), np.float32))
+        np.save(d / "T0.npy", np.eye(4, dtype=np.float32))
+        np.save(info / "idx0.npy", np.array([0, 2]))
+        np.save(info / "covariance0.npy", np.eye(6, dtype=np.float32))
+        with pytest.raises(FileNotFoundError, match="scene_names"):
+            PairDataset(str(tmp_path), "my_split", with_info=True)
+
+
 class TestPerturbStdWiring:
     def test_pair_dataset_forwards_perturb_std(self, tmp_path):
         """DataConfig.augment_perturb_std must actually reach augment_pair:

@@ -148,6 +148,11 @@ class TestOpenGFPreprocessFromLas:
         item = ds[0]
         assert item["dsm"].shape[1] == 3
         assert item["dem"].shape[1] == 3
-        assert item["center"].shape == (2,)
+        # Full 3-D bbox center incl. elevation
+        # (`/root/reference/process_open_gf.py:237-242`).
+        assert item["center"].shape == (3,)
+        # Patches are centered: coordinates straddle zero even when the raw
+        # scene sits at absolute elevation.
+        assert abs(float(item["dem"][:, 2].mean())) < 1.0
         # DSM heights dominate DEM heights (buildings over ground).
         assert item["dsm"][:, 2].mean() >= item["dem"][:, 2].mean() - 1e-3

@@ -108,6 +108,95 @@ class TestOpenGFPreprocess:
         assert item["dem_coarse"].shape[0] <= item["dem"].shape[0]
         assert "center" in item
 
+    def test_reference_fixed_grids_fall_out_of_the_formula(self):
+        """The reference uses FIXED window grids — train 17x17 @ stride 25
+        on 500 m files (`process_open_gf.py:83-91`), val 5x5 @ 100 — which
+        must fall out of the start formula at the canonical extents (the
+        old `hi - tile/2` bound emitted an 18th row/column of partial edge
+        tiles)."""
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(0, 500, (30000, 3)) * np.array([1, 1, 0.02])
+        # Pin the exact extent so the formula (not sampling luck) is tested.
+        pts[0, :2] = [0.0, 0.0]
+        pts[1, :2] = [500.0 - 1e-6, 500.0 - 1e-6]
+        classes = np.full(len(pts), 2)
+        train = list(tile_opengf_scene(pts, classes, tile=100.0, stride=25.0,
+                                       voxel=20.0))
+        assert len(train) == 17 * 17
+        val = list(tile_opengf_scene(pts, classes, tile=100.0, voxel=20.0))
+        assert len(val) == 5 * 5
+
+    def test_center_is_3d_bbox_center_of_dsm_and_dem(self):
+        """Patches are centered on the 3-D bbox center of dsm+dem including
+        ELEVATION (`process_open_gf.py:237-242`) — x/y-only tile-midpoint
+        centering left absolute terrain height in z."""
+        rng = np.random.default_rng(2)
+        pts = rng.uniform(0, 100, (5000, 3)) * np.array([1, 1, 0.1])
+        pts[:, 2] += 300.0  # absolute elevation
+        classes = np.full(len(pts), 2)
+        (patch,) = list(tile_opengf_scene(pts, classes, tile=100.0, voxel=5.0))
+        allp = np.concatenate([patch["dsm"], patch["dem"]], axis=0)
+        # Centered: bbox of the saved patch straddles zero in every dim.
+        np.testing.assert_allclose(
+            (allp.min(axis=0) + allp.max(axis=0)) / 2, 0.0, atol=1e-3)
+        assert patch["center"].shape == (3,)
+        assert patch["center"][2] > 290.0  # the elevation went into center
+
+    def test_sparse_windows_are_kept_not_renumbered(self):
+        """The reference saves EVERY window (no minimum-point gate,
+        `process_open_gf.py:193-263`); dropping sparse windows would
+        renumber all later patches away from reference artifacts."""
+        rng = np.random.default_rng(3)
+        # Dense left tile, nearly-empty right tile (8 points).
+        dense = rng.uniform(0, 100, (4000, 3)) * np.array([1, 1, 0.05])
+        sparse = rng.uniform(0, 100, (8, 3)) * np.array([1, 1, 0.05])
+        sparse[:, 0] += 100.0
+        pts = np.concatenate([dense, sparse])
+        pts[0, :2] = [0, 0]
+        pts[1, :2] = [200 - 1e-6, 100 - 1e-6]
+        classes = np.full(len(pts), 2)
+        patches = list(tile_opengf_scene(pts, classes, tile=100.0, voxel=5.0))
+        assert len(patches) == 2  # both windows, sparse one included
+        assert min(len(p["dem"]) for p in patches) >= 1
+
+    def test_dsm_extracted_from_downsampled_patch(self):
+        """DSM points come from the voxel-downsampled patch
+        (`process_open_gf.py:211-231`): a single raw outlier above a voxel
+        must NOT win over the voxel centroid."""
+        # One ground point; the surface cell holds 3 raw returns whose
+        # centroid z is 1.0 but whose max raw z is 10.0.
+        pts = np.array([
+            [0.1, 0.1, 0.0],    # ground
+            [0.2, 0.2, -3.0],
+            [0.21, 0.2, 6.0],
+            [0.2, 0.21, 0.0],
+        ])
+        classes = np.array([2, 0, 0, 0])
+        (patch,) = list(tile_opengf_scene(pts, classes, tile=100.0, voxel=50.0))
+        # Voxel 50: everything collapses to centroids; the DSM height is the
+        # centroid of the full patch cell, not the raw max 6.0.
+        dsm_z = patch["dsm"][:, 2] + patch["center"][2]
+        assert float(dsm_z.max()) < 2.0
+
+
+class TestKittiSaveSkip:
+    def test_skip_items_drops_reference_test_item(self, tmp_path):
+        """`process_kitti.py:44-45` drops dataset item 1 from the test split
+        BEFORE numbering: artifact 1 must be source pair 2."""
+        from scream_tpu.data.preprocess import save_kitti_split
+
+        rng = np.random.default_rng(4)
+        mk = lambda tag: (rng.uniform(-5, 5, (50, 3)) + tag,
+                          rng.uniform(-5, 5, (50, 3)),
+                          np.eye(3), np.zeros((3, 1)))
+        pairs = [mk(0), mk(100), mk(200)]
+        n = save_kitti_split(iter(pairs), str(tmp_path / "KITTI_test"),
+                             voxel_size=0.7, skip_items=(1,))
+        assert n == 2
+        src1 = np.load(tmp_path / "KITTI_test" / "src1.npy")
+        # Artifact 1 came from source pair 2 (mean ~ +200), not pair 1.
+        assert src1[:, 0].mean() > 100
+
 
 class TestViz:
     def test_depth_images_to_rgb(self):
