@@ -5,10 +5,12 @@ protocol detail (SURVEY.md §6):
 
   * `/root/reference/evaluate_3d_match.py:53-195` — registration recall is
     redwood RMSE < 0.2; per-scene statistics only count pairs with frame-index
-    gap > 1 (PREDATOR protocol); per-scene RRE/RTE is the median of successful
-    pairs (3DMatch/3DLoMatch) or mean (3DZeroMatch); the reported RRE/RTE/RR
-    are means over the 8 test scenes. Thresholds: NN squared-distance 0.1
-    (match/lo) vs 0.2 + corr="src_pred" (zero); ICP distance 0.1.
+    gap > 1 (PREDATOR protocol); per-scene RRE/RTE is the median
+    (3DMatch/3DLoMatch) or mean (3DZeroMatch) over ALL counted pairs —
+    successes plus RE=TE=0 appended for every failed counted pair
+    (`:136-138`); the reported RRE/RTE/RR are means over the 8 test scenes.
+    Thresholds: NN squared-distance 0.1 (match/lo) vs 0.2 +
+    corr="src_pred" (zero); ICP distance 0.1.
   * `/root/reference/evaluate_kitti.py:20-111` — success iff RE <= 5 deg and
     TE <= 2 m; NN threshold 1.5, ICP threshold 1.0; eval items 124 and 142
     skipped.
@@ -170,6 +172,21 @@ def evaluate_registration_per_scene(
     # Per-scene stat over ALL counted pairs (zeros included for failures),
     # then a plain mean over scenes — the RR and RRE/RTE means cover the
     # same scene subset (`/root/reference/evaluate_3d_match.py:152-169`).
+    # The reference always divides by the full 8 scenes; a scene with zero
+    # counted pairs means the split is truncated and the averaged number is
+    # NOT the protocol statistic — warn loudly instead of failing or
+    # silently shrinking the denominator.
+    if int(np.count_nonzero(scene_valid)) not in (0, n_scenes):
+        import warnings
+
+        empty = [SCENE_NAMES[s] for s in range(n_scenes) if scene_valid[s] == 0]
+        warnings.warn(
+            f"scenes with no counted (gap>1) pairs: {empty} — the reference "
+            f"protocol averages over all {n_scenes} scenes "
+            "(`/root/reference/evaluate_3d_match.py:152-169`); metrics below "
+            "average the populated scenes only and are not comparable to "
+            "full-split numbers (possibly a truncated download)."
+        )
     stat = np.median if re_stat == "median" else np.mean
     per_scene_rr, per_scene_re, per_scene_te = [], [], []
     for s in range(n_scenes):

@@ -182,9 +182,12 @@ def registration_icp(
         return T_new, fitness, rmse
 
     def _converged(s: _State):
+        # STRICT <, matching Open3D's RegistrationICP break condition
+        # (abs(backup.fitness - result.fitness) < relative_fitness_): a
+        # delta exactly at the criterion keeps iterating.
         return (
-            (jnp.abs(s.fitness - s.prev_fitness) <= relative_fitness)
-            & (jnp.abs(s.rmse - s.prev_rmse) <= relative_rmse)
+            (jnp.abs(s.fitness - s.prev_fitness) < relative_fitness)
+            & (jnp.abs(s.rmse - s.prev_rmse) < relative_rmse)
             & (s.it > 1)  # needs two measured transforms to compare
         )
 

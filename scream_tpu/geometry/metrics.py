@@ -55,9 +55,17 @@ def redwood_rmse(trans: jnp.ndarray, info: jnp.ndarray) -> jnp.ndarray:
 
 def registration_recall_rmse(pred_T: jnp.ndarray, gt_T: jnp.ndarray, info: jnp.ndarray) -> jnp.ndarray:
     """sqrt(redwood RMSE) of gt^-1 @ pred — success iff < 0.2 m
-    (`/root/reference/evaluate_3d_match.py:122-126`)."""
+    (`/root/reference/evaluate_3d_match.py:122-126`).
+
+    A negative quadratic form (indefinite/near-singular gt.info covariance
+    with a float-noise residual) maps to +inf, matching the DECISION the
+    reference's unguarded ``np.sqrt`` makes there (NaN < 0.2 is False →
+    pair counted failed) while keeping the returned value orderable —
+    clipping to 0 would silently count such pairs as successes.
+    """
     residual = jnp.linalg.inv(gt_T) @ pred_T
-    return jnp.sqrt(jnp.clip(redwood_rmse(residual, info), 0.0, None))
+    p = redwood_rmse(residual, info)
+    return jnp.where(p < 0.0, jnp.inf, jnp.sqrt(jnp.clip(p, 0.0, None)))
 
 
 def chamfer_distance(

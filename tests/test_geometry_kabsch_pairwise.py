@@ -172,6 +172,20 @@ class TestMetrics:
         rmse = registration_recall_rmse(jnp.asarray(T), jnp.asarray(T), jnp.asarray(info))
         assert float(rmse) < 1e-4
 
+    def test_registration_recall_negative_form_counts_failed(self):
+        """An indefinite gt.info covariance can make the quadratic form
+        negative; the reference's unguarded np.sqrt yields NaN there and
+        NaN < 0.2 counts the pair FAILED (evaluate_3d_match.py:122-124).
+        Clipping to 0 would silently flip it to a success — we map to +inf,
+        preserving the failure decision with an orderable value."""
+        T_pred = np.eye(4, dtype=np.float32)
+        T_pred[:3, 3] = [0.0, 0.5, 0.0]  # er dominated by the y translation
+        info = np.diag([1.0, -1.0, 1.0, 1.0, 1.0, 1.0]).astype(np.float32)
+        rmse = registration_recall_rmse(
+            jnp.asarray(T_pred), jnp.eye(4), jnp.asarray(info))
+        assert np.isinf(float(rmse))
+        assert not bool(rmse < 0.2)  # counted as a failure, like the reference
+
     def test_chamfer_identical_clouds(self, rng):
         f = rng.normal(size=(1, 30, 3)).astype(np.float32)
         d = chamfer_distance(jnp.asarray(f), jnp.asarray(f))
