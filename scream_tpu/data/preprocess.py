@@ -109,7 +109,6 @@ def save_test_splits(
     lo_dir: Optional[str] = None,
     zero_dir: Optional[str] = None,
     voxel_size: float = THREEDMATCH_VOXEL,
-    infos: Optional[Iterable[Dict]] = None,
 ) -> Dict[str, int]:
     """Test artifacts with the reference's overlap gates: match > 0.3,
     lo > 0.1, zero <= 0.3 de-overlapped
@@ -126,10 +125,8 @@ def save_test_splits(
     the dict form the ``idx``/``covariance``/``scene`` fields of each gated
     pair are written as the split's ``info/`` sidecars
     (`raw.save_info_sidecars`), keeping artifact and sidecar numbering
-    aligned. ``infos``: explicit aligned info dicts for the tuple form.
+    aligned.
     """
-    from itertools import repeat
-
     from scream_tpu.data.raw import save_info_sidecars
 
     counts = {"match": 0, "lo": 0, "zero": 0}
@@ -138,12 +135,12 @@ def save_test_splits(
     for d in (match_dir, lo_dir, zero_dir):
         if d:
             os.makedirs(d, exist_ok=True)
-    for pair, info in zip(pairs, infos if infos is not None else repeat(None)):
+    for pair in pairs:
+        info = None
         if isinstance(pair, dict):
             info = pair
             pair = (pair["src"], pair["tgt"], pair["rot"], pair["trans"],
                     pair.get("overlap_ind"))
-        if info is not None:
             wrote_infos = True
         a = make_pair_artifacts(*pair, voxel_size=voxel_size)
         r = a["overlap_ratio"]
