@@ -62,6 +62,29 @@ class TestLieProperties:
         np.testing.assert_allclose(R @ np.swapaxes(R, -1, -2),
                                    np.broadcast_to(np.eye(3), R.shape), atol=1e-4)
 
+    def test_so3_log_exp_roundtrip_all_magnitudes(self, rng):
+        """exp(log(R)) == R across the FULL angle range, including the
+        near-pi band where the old arccos-based log was catastrophically
+        wrong (up to ~60 deg equivalent within 3e-3 rad of 180 deg)."""
+        from scream_tpu.geometry import so3
+
+        axes = rng.standard_normal((40, 3))
+        axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+        # Dense sweep: tiny, generic, and a cluster hugging pi.
+        mags = np.concatenate([
+            np.array([1e-8, 1e-6, 1e-4, 0.1, 1.0, 2.0, 3.0]),
+            np.pi - np.geomspace(1e-6, 0.3, 33),
+        ])
+        w = axes * mags[:, None]
+        R = np.asarray(so3.exp(jnp.asarray(w, jnp.float32)))
+        w_rt = np.asarray(so3.log(jnp.asarray(R, jnp.float32)))
+        R_rt = np.asarray(so3.exp(jnp.asarray(w_rt, jnp.float32)))
+        # The rotation itself must round-trip to fp32-representation error.
+        np.testing.assert_allclose(R_rt, R, atol=5e-3)
+        # And the angle magnitude must be preserved tightly.
+        np.testing.assert_allclose(
+            np.linalg.norm(w_rt, axis=-1), mags, atol=5e-4)
+
     def test_transform_error_symmetry(self, rng):
         v = jnp.asarray(rng.standard_normal(6) * 0.3, jnp.float32)
         T = se3.exp(v[None])[0]
