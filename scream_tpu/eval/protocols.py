@@ -23,7 +23,7 @@ accumulates host-side statistics.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, Optional, Sequence
+from typing import Callable, Dict, Sequence
 
 import numpy as np
 import jax.numpy as jnp

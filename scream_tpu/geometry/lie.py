@@ -36,7 +36,7 @@ per-method):
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Optional, Union
 
 import jax
 import jax.numpy as jnp

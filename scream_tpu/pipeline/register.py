@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from scream_tpu.geometry.icp import registration_icp
 from scream_tpu.geometry.kabsch import kabsch
 from scream_tpu.geometry.metrics import registration_recall_rmse, transformation_error
 
