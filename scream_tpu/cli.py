@@ -161,6 +161,10 @@ def cmd_train(args):
         train_cfg = dataclasses.replace(train_cfg, batch_size=args.batch_size)
     if args.gan:
         train_cfg = dataclasses.replace(train_cfg, use_gan=True)
+    if getattr(args, "center_mode", None):
+        # "none" trains WITHOUT the reference's GT src_center hint — the
+        # recipe for checkpoints usable in GT-free register_pair.
+        eval_cfg = dataclasses.replace(eval_cfg, center_mode=args.center_mode)
 
     if args.task == "opengf":
         from scream_tpu.data import DEMLoader, OpenGFDataset
@@ -287,7 +291,7 @@ def cmd_evaluate(args):
     eval_cfg = eval_preset(args.protocol)
     over = {}
     for field in ("dis_thresh", "rmse_thresh", "icp_thresh", "icp_max_iter",
-                  "re_stat"):
+                  "re_stat", "center_mode"):
         v = getattr(args, field, None)
         if v is not None:
             over[field] = v
@@ -462,6 +466,59 @@ def cmd_preprocess(args):
                 save_centers=centers,
             )
             print(f"OpenGF_{split}: {n} patches from {len(paths)} scenes")
+
+
+def cmd_register(args):
+    """GT-free registration of two raw clouds — the user-facing "align these
+    two scans" flow (see pipeline.register_pair; the reference has no
+    GT-free path at all)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from scream_tpu.config import ModelConfig
+    from scream_tpu.models.point_transformer import PointTransformer
+    from scream_tpu.pipeline import register_pair
+    from scream_tpu.utils.checkpoint import load_params
+
+    src = np.load(args.src).astype(np.float32)
+    tgt = np.load(args.tgt).astype(np.float32)
+    for name, arr in (("src", src), ("tgt", tgt)):
+        if arr.ndim != 2 or arr.shape[1] != 3:
+            raise SystemExit(f"{name}: expected an (N, 3) .npy cloud, "
+                             f"got shape {arr.shape}")
+
+    model_cfg = _apply_model_overrides(ModelConfig(), args)
+    model = PointTransformer(model_cfg)
+    z = jnp.zeros((1, 8, 3), jnp.float32)
+    init = model.init(jax.random.PRNGKey(0), z, z,
+                      jnp.ones((1, 8), bool), jnp.ones((1, 8), bool),
+                      jnp.zeros((1, 1, 3)))["params"]
+    if args.params:
+        params = load_params(args.params, init)
+    else:
+        print("[cli] no --params given; registering with a randomly "
+              "initialized model", file=sys.stderr)
+        params = init
+
+    def apply_fn(p, s, t, sm, tm, c):
+        return model.apply({"params": p}, s, t, sm, tm, c)
+
+    res = register_pair(
+        apply_fn, params, src, tgt,
+        normalize=args.normalize, dis_thresh=args.dis_thresh,
+        icp_thresh=args.icp_thresh, icp_max_iter=args.icp_max_iter,
+    )
+    out = {
+        "transform": res.transform.tolist(),
+        "fitness": res.fitness,
+        "inlier_rmse": res.inlier_rmse,
+        "n_corr": res.n_corr,
+    }
+    if args.out:
+        np.save(args.out, res.transform)
+        out["saved"] = args.out
+    print(json.dumps(out))
 
 
 def cmd_convert(args):
@@ -640,6 +697,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture an XLA trace of the first epoch here")
     t.add_argument("--sample-img-dir", default=None,
                    help="dump GAN sample images here every save_img_iter steps")
+    t.add_argument("--center-mode", choices=["trans", "neg_rt", "none"],
+                   default=None,
+                   help="src_center hint fed to the model (preset default; "
+                        "'none' trains hint-free for GT-free register)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("evaluate", help="run a benchmark protocol")
@@ -664,11 +725,36 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ICP iteration cap (30 for 3DMatch, 1000 for KITTI)")
     e.add_argument("--re-stat", choices=["median", "mean"], default=None,
                    help="per-scene RE/TE statistic")
+    e.add_argument("--center-mode", choices=["trans", "neg_rt", "none"],
+                   default=None,
+                   help="src_center hint (preset default; 'none' evaluates "
+                        "a hint-free-trained checkpoint)")
     e.add_argument("--mesh", default=None,
                    help="multi-chip mesh for eval, e.g. 'data=8' or 'auto'")
     e.add_argument("--dtype", choices=["bfloat16", "float32"], default=None,
                    help="compute dtype override")
     e.set_defaults(fn=cmd_evaluate)
+
+    r = sub.add_parser(
+        "register",
+        help="GT-free: align two raw .npy clouds, print the 4x4 transform",
+    )
+    r.add_argument("--src", required=True, help="(N, 3) .npy source cloud")
+    r.add_argument("--tgt", required=True, help="(M, 3) .npy target cloud")
+    r.add_argument("--params", default=None, help="orbax params dir")
+    r.add_argument("--normalize", choices=["unit_sphere", "unit_cube"],
+                   default="unit_sphere",
+                   help="match the checkpoint's training convention "
+                        "(unit_cube for kitti-generator)")
+    r.add_argument("--dis-thresh", type=float, default=0.1)
+    r.add_argument("--icp-thresh", type=float, default=0.1)
+    r.add_argument("--icp-max-iter", type=int, default=30)
+    r.add_argument("--out", default=None, help="save the 4x4 transform here")
+    r.add_argument("--d-model", type=int, default=None)
+    r.add_argument("--self-layers", type=int, default=None)
+    r.add_argument("--cross-layers", type=int, default=None)
+    r.add_argument("--dtype", choices=["bfloat16", "float32"], default=None)
+    r.set_defaults(fn=cmd_register)
 
     pr = sub.add_parser("preprocess", help="raw data -> .npy artifacts")
     pr.add_argument("task", choices=["3dmatch", "kitti", "opengf"])

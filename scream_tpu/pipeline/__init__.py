@@ -1,19 +1,23 @@
 """End-to-end pipelines: registration solve, training/eval step assembly."""
 
 from scream_tpu.pipeline.register import (
+    PairRegistration,
     PoseSolution,
     RegistrationMetrics,
     denormalized_gt,
     in_forward_transform,
     register_batch,
+    register_pair,
     solve_pose,
 )
 
 __all__ = [
+    "PairRegistration",
     "PoseSolution",
     "RegistrationMetrics",
     "denormalized_gt",
     "in_forward_transform",
     "register_batch",
+    "register_pair",
     "solve_pose",
 ]

@@ -161,7 +161,15 @@ def gt_center_hint(rot, trans, mode: str = "trans"):
     `train_3d_match.py:171`). ``"neg_rt"``: ``-R^T t`` — KITTI
     (`/root/reference/evaluate_kitti.py:39`, `train_kitti.py:156`). Returns
     ``(B, 1, 3)``.
+
+    ``"none"``: no GT hint — the model falls back to its masked-centroid
+    default. The reference ALWAYS feeds the GT hint, even at test time (its
+    documented quirk); train with ``"none"`` to get a checkpoint that can
+    register GT-free via :func:`register_pair` (hint-trained checkpoints
+    lean on the hint for most of the translation and fail without it).
     """
+    if mode == "none":
+        return None
     if mode == "trans":
         return jnp.swapaxes(trans, -1, -2)
     if mode == "neg_rt":
@@ -250,3 +258,111 @@ def register_batch(
     if "covariance" in batch:
         rmse = registration_recall_rmse(T, gt_T, batch["covariance"])
     return RegistrationMetrics(T, re, te, sol.n_corr, rmse)
+
+
+class PairRegistration(NamedTuple):
+    transform: np.ndarray  # (4, 4) mapping src points into the tgt frame
+    fitness: float  # ICP inlier fraction of src points
+    inlier_rmse: float  # ICP inlier RMSE (same units as the input clouds)
+    n_corr: int  # correspondences behind the initial Kabsch solve
+
+
+def register_pair(
+    apply_fn: Callable,
+    params,
+    src: np.ndarray,
+    tgt: np.ndarray,
+    normalize: str = "unit_sphere",
+    dis_thresh: float = 0.1,
+    corr: str = "tgt",
+    icp_thresh: float = 0.1,
+    icp_max_iter: int = 30,
+    capacity: Optional[int] = None,
+) -> PairRegistration:
+    """GT-FREE registration of two raw clouds: the "align these two scans"
+    entry the reference cannot offer.
+
+    The reference's whole eval pipeline is GT-dependent: normalization
+    centers on the GT-registered union
+    (`/root/reference/datasets/three_d_match.py:183-190`) and the model
+    receives a GT-derived ``src_center`` hint at test time
+    (`/root/reference/evaluate_3d_match.py:84`). Here, with no GT:
+
+      * normalization uses the union of the two clouds AS GIVEN (same scale
+        convention — unit sphere / unit cube — so the trained thresholds
+        still apply; for roughly-overlapping scans the center/scale land
+        near the protocol's),
+      * the model falls back to its built-in masked-centroid ``src_center``,
+      * ICP refinement from the Kabsch initialization is always accepted
+        (there is no GT to gate a keep-iff-better rule on).
+
+    IMPORTANT — checkpoint compatibility: the hint carries most of the
+    translation, so checkpoints trained with the reference's GT hint (all
+    the shipped demo checkpoints; the reference feeds GT even at test time)
+    FAIL here (measured: RE tens of degrees in-distribution). Use a
+    checkpoint trained with ``center_mode="none"``
+    (``EvalConfig(center_mode="none")`` / trainer ``center_mode``) for real
+    GT-free registration. For protocol evaluation use
+    :func:`register_batch` / the eval protocols.
+
+    Args:
+      apply_fn/params: the jittable model forward (same contract as
+        :func:`register_batch`).
+      src, tgt: raw ``(N, 3)`` / ``(M, 3)`` clouds (numpy, un-normalized).
+      normalize: "unit_sphere" (3DMatch-style) or "unit_cube" (KITTI-style)
+        — match the checkpoint's training convention.
+      capacity: pad both clouds to this static size (one jit compile per
+        distinct capacity); defaults to both lengths rounded up to 256.
+
+    Returns a :class:`PairRegistration`; ``transform`` is in the ORIGINAL
+    input frame (apply as ``src @ R.T + t``).
+    """
+    from scream_tpu.data.batching import pad_cloud
+    from scream_tpu.geometry.icp import registration_icp
+
+    src = np.asarray(src, np.float32)
+    tgt = np.asarray(tgt, np.float32)
+    union = np.concatenate([src, tgt], axis=0)
+    if normalize == "unit_sphere":
+        c = union.mean(axis=0)
+        s = 1.0 / max(float(np.max(np.linalg.norm(union - c, axis=1))), 1e-12)
+    elif normalize == "unit_cube":
+        lo, hi = union.min(axis=0), union.max(axis=0)
+        c = (lo + hi) / 2.0
+        s = 2.0 / max(float(np.max(hi - lo)), 1e-12)
+    else:
+        raise ValueError(f"unknown normalize mode {normalize!r}")
+
+    cap = capacity or (max(len(src), len(tgt)) + 255) // 256 * 256
+    src_p, src_mask = pad_cloud((s * (src - c)).astype(np.float32), cap)
+    tgt_p, tgt_mask = pad_cloud((s * (tgt - c)).astype(np.float32), cap)
+
+    b = {
+        "src": jnp.asarray(src_p)[None],
+        "tgt": jnp.asarray(tgt_p)[None],
+        "src_mask": jnp.asarray(src_mask)[None],
+        "tgt_mask": jnp.asarray(tgt_mask)[None],
+        "scale": jnp.asarray([s], jnp.float32),
+        "center": jnp.asarray(c, jnp.float32)[None],
+    }
+    # No GT hint: None routes the model to its masked-centroid default.
+    src_pred = apply_fn(params, b["src"], b["tgt"], b["src_mask"],
+                        b["tgt_mask"], None).astype(jnp.float32)
+    sol = solve_pose(b["src"], src_pred, b["tgt"], b["src_mask"],
+                     b["tgt_mask"], b["scale"], b["center"],
+                     dis_thresh=dis_thresh, corr=corr)
+
+    inv_s = 1.0 / s
+    src_dn = b["src"][0] * inv_s + b["center"][0]
+    tgt_dn = b["tgt"][0] * inv_s + b["center"][0]
+    res = registration_icp(
+        src_dn, tgt_dn, icp_thresh, init=sol.transform[0],
+        max_iteration=icp_max_iter,
+        src_mask=b["src_mask"][0], tgt_mask=b["tgt_mask"][0],
+    )
+    return PairRegistration(
+        transform=np.asarray(res.transformation),
+        fitness=float(res.fitness),
+        inlier_rmse=float(res.inlier_rmse),
+        n_corr=int(sol.n_corr[0]),
+    )

@@ -266,6 +266,44 @@ class TestVisualize:
         assert out["n_pairs"] == 3  # 124/142 out of range of the tiny fixture
 
 
+class TestRegisterCLI:
+    def test_register_two_npy_clouds(self, capsys, tmp_path):
+        """`register --src a.npy --tgt b.npy` is the GT-free user flow: two
+        raw clouds in, a 4x4 transform + fitness out, transform saved."""
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        src = rng.uniform(-1, 1, (120, 3)).astype(np.float32)
+        np.save(tmp_path / "a.npy", src)
+        np.save(tmp_path / "b.npy", src + np.float32([0.05, 0.0, 0.0]))
+
+        main(["register", "--src", str(tmp_path / "a.npy"),
+              "--tgt", str(tmp_path / "b.npy"),
+              "--out", str(tmp_path / "T.npy"),
+              "--d-model", "32", "--self-layers", "1", "--cross-layers", "1",
+              "--dtype", "float32"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        T = np.asarray(out["transform"])
+        assert T.shape == (4, 4)
+        assert np.isfinite(T).all()
+        assert 0.0 <= out["fitness"] <= 1.0
+        saved = np.load(tmp_path / "T.npy")
+        np.testing.assert_allclose(saved, T, atol=1e-6)
+        # Pose QUALITY is a checkpoint property (this run is a random init —
+        # the warning on stderr says so); exactness is pinned by the oracle
+        # test in tests/test_pipeline_register.py::TestRegisterPair.
+        assert T[3, 3] == 1.0 and np.allclose(T[3, :3], 0.0)
+
+    def test_register_rejects_bad_shape(self, tmp_path):
+        import numpy as np
+
+        np.save(tmp_path / "bad.npy", np.zeros((4, 2), np.float32))
+        np.save(tmp_path / "ok.npy", np.zeros((4, 3), np.float32))
+        with pytest.raises(SystemExit, match="expected an"):
+            main(["register", "--src", str(tmp_path / "bad.npy"),
+                  "--tgt", str(tmp_path / "ok.npy")])
+
+
 class TestTrainCLI:
     def test_train_kitti_gan_uses_kitti_render_config(self, monkeypatch,
                                                       tmp_path):

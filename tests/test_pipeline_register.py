@@ -92,6 +92,65 @@ class TestSolvePose:
                        b["scale"], b["center"], corr="nope")
 
 
+class TestRegisterPair:
+    """GT-free registration of two RAW clouds (pipeline.register_pair) —
+    no normalization metadata, no GT hint, no keep-iff-better gate."""
+
+    def _raw_pair(self, rng, n=220, m=260):
+        from scipy.spatial.transform import Rotation
+
+        scene = rng.uniform(-2, 2, (400, 3)).astype(np.float32) + 5.0
+        src = scene[rng.choice(400, n, replace=False)]
+        tgt_base = scene[rng.choice(400, m, replace=False)]
+        R = Rotation.from_rotvec(rng.normal(size=3) * 0.1).as_matrix()
+        t = rng.normal(size=3) * 0.3
+        # tgt frame: src maps into it by (R, t); tgt sampled from the scene
+        tgt = tgt_base @ R.T + t
+        return src.astype(np.float32), tgt.astype(np.float32), \
+            R.astype(np.float32), t.astype(np.float32)
+
+    def test_oracle_recovers_pose_in_original_frame(self):
+        from scream_tpu.pipeline import register_pair
+
+        rng = np.random.default_rng(11)
+        src, tgt, R, t = self._raw_pair(rng)
+
+        def oracle(params, s, tg, sm, tm, c):
+            # Normalized-frame oracle: x_n = s(x - c) maps under (R, t) to
+            # R x_n + s(t - c + R c) — the exact trained-model contract.
+            scale, center = params
+            trans_n = scale * (t - center + R @ center)
+            return jnp.einsum("ij,bnj->bni", jnp.asarray(R), s) + trans_n
+
+        # The oracle needs the (s, c) register_pair derives; reproduce them.
+        union = np.concatenate([src, tgt])
+        c = union.mean(0)
+        s = 1.0 / np.max(np.linalg.norm(union - c, axis=1))
+        params = (np.float32(s), c.astype(np.float32))
+        # icp_max_iter=0: the raw Kabsch solve must recover the pose exactly
+        # in the ORIGINAL input frame.
+        exact = register_pair(oracle, params, src, tgt, dis_thresh=10.0,
+                              corr="src_pred", icp_max_iter=0)
+        np.testing.assert_allclose(exact.transform[:3, :3], R, atol=1e-3)
+        np.testing.assert_allclose(exact.transform[:3, 3], t, atol=5e-3)
+        assert exact.n_corr == len(src)
+        # With ICP on, the refinement fits the two different subsamplings of
+        # the scene to each other — close to, but legitimately not exactly,
+        # the oracle pose (no GT gate in the GT-free flow).
+        res = register_pair(oracle, params, src, tgt, dis_thresh=10.0,
+                            corr="src_pred", icp_max_iter=5)
+        np.testing.assert_allclose(res.transform[:3, :3], R, atol=5e-3)
+        np.testing.assert_allclose(res.transform[:3, 3], t, atol=3e-2)
+        assert np.isfinite(res.fitness) and np.isfinite(res.inlier_rmse)
+
+    def test_unknown_normalize_raises(self):
+        from scream_tpu.pipeline import register_pair
+
+        with pytest.raises(ValueError, match="normalize"):
+            register_pair(lambda *a: None, None, np.zeros((4, 3)),
+                          np.zeros((4, 3)), normalize="nope")
+
+
 class TestRegisterBatch:
     def test_end_to_end_oracle(self):
         b = _batch(with_info=True)
