@@ -165,6 +165,8 @@ def cmd_train(args):
         # "none" trains WITHOUT the reference's GT src_center hint — the
         # recipe for checkpoints usable in GT-free register_pair.
         eval_cfg = dataclasses.replace(eval_cfg, center_mode=args.center_mode)
+    if getattr(args, "normalize", None):
+        data_cfg = dataclasses.replace(data_cfg, normalize=args.normalize)
 
     if args.task == "opengf":
         from scream_tpu.data import DEMLoader, OpenGFDataset
@@ -701,6 +703,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None,
                    help="src_center hint fed to the model (preset default; "
                         "'none' trains hint-free for GT-free register)")
+    t.add_argument("--normalize",
+                   choices=["unit_sphere", "unit_sphere_raw", "unit_cube"],
+                   default=None,
+                   help="pair normalization (preset default; "
+                        "'unit_sphere_raw' matches register_pair's GT-free "
+                        "inference distribution)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("evaluate", help="run a benchmark protocol")

@@ -93,12 +93,16 @@ def _norm_fn(name: str):
     try:
         return {
             "unit_sphere": transforms.normalize_unit_sphere,
+            # GT-free variant: centers on the UN-registered union, matching
+            # pipeline.register_pair's inference-time normalization (for
+            # hint-free training, see gt_center_hint("none")).
+            "unit_sphere_raw": transforms.normalize_unit_sphere_raw,
             "unit_cube": transforms.normalize_unit_cube,
         }[name]
     except KeyError:
         raise ValueError(
-            f"unknown normalize mode {name!r}; expected 'unit_sphere' or "
-            "'unit_cube'"
+            f"unknown normalize mode {name!r}; expected 'unit_sphere', "
+            "'unit_sphere_raw' or 'unit_cube'"
         ) from None
 
 

@@ -132,6 +132,24 @@ def normalize_unit_sphere(
     return s * (src - c), s * (tgt - c), derive_normalized_trans(s, c, rot, trans), s, c
 
 
+def normalize_unit_sphere_raw(
+    src: np.ndarray, tgt: np.ndarray, rot: np.ndarray, trans: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float, np.ndarray]:
+    """Unit-sphere normalization over the UN-registered union.
+
+    The protocol's :func:`normalize_unit_sphere` centers on the
+    GT-registered union — information a GT-free caller does not have.
+    ``pipeline.register_pair`` normalizes over the clouds AS GIVEN; training
+    a hint-free checkpoint (``center_mode="none"``) with THIS mode matches
+    that inference distribution. The trans re-derivation ``s (t - c + R c)``
+    is frame-choice independent, so the GT stays exact.
+    """
+    union = np.concatenate([src, tgt], axis=0)
+    c = np.mean(union, axis=0)
+    s = 1.0 / max(float(np.max(np.linalg.norm(union - c, axis=1))), 1e-12)
+    return s * (src - c), s * (tgt - c), derive_normalized_trans(s, c, rot, trans), s, c
+
+
 def normalize_unit_cube(
     src: np.ndarray, tgt: np.ndarray, rot: np.ndarray, trans: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float, np.ndarray]:

@@ -349,6 +349,34 @@ class TestAugmentationRNG:
         assert not np.array_equal(e0, e1)
 
 
+class TestRawUnionNormalization:
+    def test_unit_sphere_raw_matches_register_pair_and_keeps_gt(self):
+        """unit_sphere_raw centers on the UN-registered union — identical to
+        pipeline.register_pair's GT-free normalization — while the re-derived
+        translation keeps the GT exact: tgt_n == R src_n + t_n for true
+        correspondences."""
+        from scream_tpu.data import transforms
+
+        rng = np.random.default_rng(8)
+        src = rng.uniform(-1, 1, (50, 3)).astype(np.float32)
+        R = np.linalg.qr(rng.standard_normal((3, 3)))[0]
+        if np.linalg.det(R) < 0:
+            R[:, 0] *= -1
+        t = rng.standard_normal((3, 1)) * 0.3
+        tgt = (src @ R.T + t.reshape(3)).astype(np.float32)
+
+        src_n, tgt_n, t_n, s, c = transforms.normalize_unit_sphere_raw(
+            src, tgt, R, t)
+        # register_pair's normalization: mean/max-radius of the raw union.
+        union = np.concatenate([src, tgt])
+        np.testing.assert_allclose(c, union.mean(0), atol=1e-6)
+        np.testing.assert_allclose(
+            s, 1.0 / np.max(np.linalg.norm(union - c, axis=1)), rtol=1e-6)
+        # GT exactness in the normalized frame.
+        np.testing.assert_allclose(
+            tgt_n, src_n @ R.T + t_n.reshape(3), atol=1e-5)
+
+
 class TestLoaderPrefetchClamp:
     def test_prefetch_zero_stays_bounded(self):
         """queue.Queue treats maxsize<=0 as UNBOUNDED — prefetch=0 must not
