@@ -490,7 +490,15 @@ def cmd_register(args):
             raise SystemExit(f"{name}: expected an (N, 3) .npy cloud, "
                              f"got shape {arr.shape}")
 
-    model_cfg = _apply_model_overrides(ModelConfig(), args)
+    model_cfg = ModelConfig()
+    if args.params:
+        # Shipped checkpoints carry a model_config.json sidecar so the right
+        # architecture loads without flag archaeology; explicit flags win.
+        sidecar = os.path.join(args.params, "model_config.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                model_cfg = dataclasses.replace(model_cfg, **json.load(f))
+    model_cfg = _apply_model_overrides(model_cfg, args)
     model = PointTransformer(model_cfg)
     z = jnp.zeros((1, 8, 3), jnp.float32)
     init = model.init(jax.random.PRNGKey(0), z, z,
