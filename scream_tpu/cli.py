@@ -712,7 +712,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="src_center hint fed to the model (preset default; "
                         "'none' trains hint-free for GT-free register)")
     t.add_argument("--normalize",
-                   choices=["unit_sphere", "unit_sphere_raw", "unit_cube"],
+                   choices=["unit_sphere", "unit_sphere_raw", "unit_cube",
+                            "unit_cube_raw"],
                    default=None,
                    help="pair normalization (preset default; "
                         "'unit_sphere_raw' matches register_pair's GT-free "

@@ -98,11 +98,12 @@ def _norm_fn(name: str):
             # hint-free training, see gt_center_hint("none")).
             "unit_sphere_raw": transforms.normalize_unit_sphere_raw,
             "unit_cube": transforms.normalize_unit_cube,
+            "unit_cube_raw": transforms.normalize_unit_cube_raw,
         }[name]
     except KeyError:
         raise ValueError(
             f"unknown normalize mode {name!r}; expected 'unit_sphere', "
-            "'unit_sphere_raw' or 'unit_cube'"
+            "'unit_sphere_raw', 'unit_cube' or 'unit_cube_raw'"
         ) from None
 
 

@@ -150,6 +150,19 @@ def normalize_unit_sphere_raw(
     return s * (src - c), s * (tgt - c), derive_normalized_trans(s, c, rot, trans), s, c
 
 
+def normalize_unit_cube_raw(
+    src: np.ndarray, tgt: np.ndarray, rot: np.ndarray, trans: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float, np.ndarray]:
+    """Unit-cube normalization over the UN-registered union — the KITTI-
+    convention counterpart of :func:`normalize_unit_sphere_raw` (same
+    GT-free rationale; matches ``register_pair(normalize="unit_cube")``)."""
+    union = np.concatenate([src, tgt], axis=0)
+    lo, hi = union.min(axis=0), union.max(axis=0)
+    c = (lo + hi) / 2.0
+    s = 2.0 / max(float(np.max(hi - lo)), 1e-12)
+    return s * (src - c), s * (tgt - c), derive_normalized_trans(s, c, rot, trans), s, c
+
+
 def normalize_unit_cube(
     src: np.ndarray, tgt: np.ndarray, rot: np.ndarray, trans: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float, np.ndarray]:
