@@ -376,6 +376,25 @@ class TestRawUnionNormalization:
         np.testing.assert_allclose(
             tgt_n, src_n @ R.T + t_n.reshape(3), atol=1e-5)
 
+    def test_unit_cube_raw_keeps_gt_and_matches_bbox(self):
+        from scream_tpu.data import transforms
+
+        rng = np.random.default_rng(12)
+        src = rng.uniform(-4, 4, (60, 3)).astype(np.float32)
+        R = np.linalg.qr(rng.standard_normal((3, 3)))[0]
+        if np.linalg.det(R) < 0:
+            R[:, 0] *= -1
+        t = rng.standard_normal((3, 1)) * 0.5
+        tgt = (src @ R.T + t.reshape(3)).astype(np.float32)
+        src_n, tgt_n, t_n, s, c = transforms.normalize_unit_cube_raw(
+            src, tgt, R, t)
+        union = np.concatenate([src, tgt])
+        lo, hi = union.min(0), union.max(0)
+        np.testing.assert_allclose(c, (lo + hi) / 2, atol=1e-6)
+        np.testing.assert_allclose(s, 2.0 / np.max(hi - lo), rtol=1e-6)
+        np.testing.assert_allclose(
+            tgt_n, src_n @ R.T + t_n.reshape(3), atol=1e-5)
+
 
 class TestLoaderPrefetchClamp:
     def test_prefetch_zero_stays_bounded(self):
