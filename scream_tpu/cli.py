@@ -491,13 +491,21 @@ def cmd_register(args):
                              f"got shape {arr.shape}")
 
     model_cfg = ModelConfig()
+    normalize = args.normalize
     if args.params:
         # Shipped checkpoints carry a model_config.json sidecar so the right
-        # architecture loads without flag archaeology; explicit flags win.
+        # architecture (and normalization convention) loads without flag
+        # archaeology; explicit flags win.
         sidecar = os.path.join(args.params, "model_config.json")
         if os.path.exists(sidecar):
             with open(sidecar) as f:
-                model_cfg = dataclasses.replace(model_cfg, **json.load(f))
+                side = json.load(f)
+            if normalize is None:
+                normalize = side.pop("normalize", None)
+            else:
+                side.pop("normalize", None)
+            model_cfg = dataclasses.replace(model_cfg, **side)
+    normalize = normalize or "unit_sphere"
     model_cfg = _apply_model_overrides(model_cfg, args)
     model = PointTransformer(model_cfg)
     z = jnp.zeros((1, 8, 3), jnp.float32)
@@ -516,7 +524,7 @@ def cmd_register(args):
 
     res = register_pair(
         apply_fn, params, src, tgt,
-        normalize=args.normalize, dis_thresh=args.dis_thresh,
+        normalize=normalize, dis_thresh=args.dis_thresh,
         icp_thresh=args.icp_thresh, icp_max_iter=args.icp_max_iter,
     )
     out = {
@@ -760,9 +768,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--tgt", required=True, help="(M, 3) .npy target cloud")
     r.add_argument("--params", default=None, help="orbax params dir")
     r.add_argument("--normalize", choices=["unit_sphere", "unit_cube"],
-                   default="unit_sphere",
+                   default=None,
                    help="match the checkpoint's training convention "
-                        "(unit_cube for kitti-generator)")
+                        "(auto-read from the checkpoint's model_config.json "
+                        "sidecar when present; unit_sphere otherwise)")
     r.add_argument("--dis-thresh", type=float, default=0.1)
     r.add_argument("--icp-thresh", type=float, default=0.1)
     r.add_argument("--icp-max-iter", type=int, default=30)
