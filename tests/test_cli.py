@@ -294,6 +294,50 @@ class TestRegisterCLI:
         # test in tests/test_pipeline_register.py::TestRegisterPair.
         assert T[3, 3] == 1.0 and np.allclose(T[3, :3], 0.0)
 
+    def test_register_reads_model_config_sidecar(self, tmp_path, monkeypatch,
+                                                 capsys):
+        """A checkpoint's model_config.json sidecar supplies the architecture
+        AND the normalization convention; explicit flags win over it."""
+        import numpy as np
+
+        import scream_tpu.cli as cli
+
+        np.save(tmp_path / "a.npy", np.zeros((16, 3), np.float32))
+        np.save(tmp_path / "b.npy", np.zeros((16, 3), np.float32))
+        ck = tmp_path / "ck"
+        ck.mkdir()
+        (ck / "model_config.json").write_text(json.dumps(
+            {"d_model": 48, "num_heads": 4, "self_layers": 1,
+             "cross_layers": 1, "normalize": "unit_cube"}))
+
+        captured = {}
+
+        def fake_load(params_dir, init):
+            return init
+
+        def fake_register_pair(apply_fn, params, src, tgt, normalize,
+                               dis_thresh, icp_thresh, icp_max_iter):
+            captured["normalize"] = normalize
+            from scream_tpu.pipeline.register import PairRegistration
+            return PairRegistration(np.eye(4), 1.0, 0.0, 16)
+
+        monkeypatch.setattr("scream_tpu.utils.checkpoint.load_params",
+                            fake_load)
+        monkeypatch.setattr("scream_tpu.pipeline.register_pair",
+                            fake_register_pair)
+        main(["register", "--src", str(tmp_path / "a.npy"),
+              "--tgt", str(tmp_path / "b.npy"), "--params", str(ck),
+              "--dtype", "float32"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert captured["normalize"] == "unit_cube"  # from the sidecar
+        assert np.asarray(out["transform"]).shape == (4, 4)
+
+        # Explicit flag beats the sidecar.
+        main(["register", "--src", str(tmp_path / "a.npy"),
+              "--tgt", str(tmp_path / "b.npy"), "--params", str(ck),
+              "--normalize", "unit_sphere", "--dtype", "float32"])
+        assert captured["normalize"] == "unit_sphere"
+
     def test_register_rejects_bad_shape(self, tmp_path):
         import numpy as np
 
