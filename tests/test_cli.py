@@ -338,6 +338,45 @@ class TestRegisterCLI:
               "--normalize", "unit_sphere", "--dtype", "float32"])
         assert captured["normalize"] == "unit_sphere"
 
+    @pytest.mark.parametrize("ckpt", ["point-generator-hintfree",
+                                      "kitti-generator-hintfree"])
+    def test_shipped_hintfree_checkpoints_load_against_sidecar(self, ckpt):
+        """Each shipped hint-free checkpoint must restore against the
+        architecture its model_config.json declares — catches sidecar or
+        artifact drift without running a forward pass."""
+        import os
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from scream_tpu.config import ModelConfig
+        from scream_tpu.models.point_transformer import PointTransformer
+        from scream_tpu.utils.checkpoint import load_params
+
+        root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "params", ckpt)
+        import dataclasses
+
+        side = json.loads(open(os.path.join(root, "model_config.json")).read())
+        norm = side.pop("normalize")
+        assert norm in ("unit_sphere", "unit_cube")
+        cfg = dataclasses.replace(ModelConfig(dtype="float32"), **side)
+        model = PointTransformer(cfg)
+        z = jnp.zeros((1, 8, 3))
+        init = model.init(jax.random.PRNGKey(0), z, z,
+                          jnp.ones((1, 8), bool), jnp.ones((1, 8), bool),
+                          jnp.zeros((1, 1, 3)))["params"]
+        params = load_params(root, init)
+        # Restored leaves must match the declared architecture's shapes and
+        # differ from the random init (i.e., real trained weights loaded).
+        changed = 0
+        for a, b in zip(jax.tree_util.tree_leaves(init),
+                        jax.tree_util.tree_leaves(params)):
+            assert a.shape == b.shape
+            changed += int(not np.allclose(np.asarray(a), np.asarray(b)))
+        assert changed > 0
+
     def test_register_rejects_bad_shape(self, tmp_path):
         import numpy as np
 
