@@ -436,6 +436,46 @@ def _flush(path):
     print(f"# wrote {len(RESULTS)} metrics to {path}", file=sys.stderr)
 
 
+def _probe_backend(timeout_s=90):
+    """Fail fast with ONE parseable JSON line when the TPU backend is down.
+
+    The remote-TPU tunnel has two failure modes: backend init raises
+    RuntimeError('Unable to initialize backend ...UNAVAILABLE'), or —
+    worse — `jax.devices()` blocks forever in a retry loop. Probing in a
+    subprocess with a hard timeout catches both, so a driver run during an
+    outage records a structured error instead of a traceback (or a hang).
+    """
+    import subprocess
+
+    import jax
+
+    # Forced-CPU runs (the test suite sets the jax *config*, CLAUDE.md) have
+    # nothing to probe — the subprocess would wrongly touch the TPU tunnel.
+    plats = getattr(jax.config, "jax_platforms", None)
+    if plats and plats.split(",")[0] == "cpu":
+        return
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if r.returncode == 0 and "ok" in r.stdout:
+            return
+        detail = (r.stderr or r.stdout).strip().splitlines()
+        detail = detail[-1] if detail else f"rc={r.returncode}"
+    except subprocess.TimeoutExpired:
+        detail = f"backend init did not respond within {timeout_s}s"
+    print(json.dumps({
+        "error": "backend_unavailable",
+        "metric": "3dmatch_registration_pairs_per_sec_per_chip",
+        "value": None,
+        "unit": "pairs/sec",
+        "detail": detail,
+    }))
+    sys.exit(3)
+
+
 if __name__ == "__main__":
     # Validate flags BEFORE the multi-minute TPU runs: a forgotten --write
     # operand or a misspelled flag must not be discovered (or silently
@@ -458,6 +498,7 @@ if __name__ == "__main__":
                 f"bench.py: unknown argument {a!r} "
                 "(known: --suite --breakdown --write PATH)\n")
             sys.exit(2)
+    _probe_backend()
     try:
         main()
         if write_path is not None:

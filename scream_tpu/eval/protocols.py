@@ -176,7 +176,15 @@ def evaluate_registration_per_scene(
     # counted pairs means the split is truncated and the averaged number is
     # NOT the protocol statistic — warn loudly instead of failing or
     # silently shrinking the denominator.
-    if int(np.count_nonzero(scene_valid)) not in (0, n_scenes):
+    if int(np.count_nonzero(scene_valid)) == 0:
+        # No counted (gap>1) pairs anywhere: there is no protocol statistic
+        # to report. Returning zeros/NaN here would look like a (terrible
+        # but valid) result — fail loudly instead.
+        raise ValueError(
+            "no counted (idx gap>1) pairs in any scene — the split is empty "
+            "or fully filtered; protocol metrics are undefined "
+            "(`/root/reference/evaluate_3d_match.py:128-138`)")
+    if int(np.count_nonzero(scene_valid)) != n_scenes:
         import warnings
 
         empty = [SCENE_NAMES[s] for s in range(n_scenes) if scene_valid[s] == 0]

@@ -3,7 +3,7 @@
 TPU-native counterpart of `/root/reference/loss.py:16-66` (``AdversarialLoss``).
 The reference wraps the discriminator in a Module with an ``optimizer_idx``
 switch; here the losses are pure functions and the alternating G/D updates
-live in the trainer (`scream_tpu/train/gan.py`), which is the functional
+live in the trainer (`scream_tpu/train/steps.py`), which is the functional
 jax idiom — no hidden module state, both steps jittable.
 """
 

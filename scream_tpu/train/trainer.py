@@ -415,6 +415,17 @@ class DEMTrainer:
         self.mesh = mesh
         self.sample_img_dir = sample_img_dir
         self.model = DEMTransformer(model_cfg)
+        # DEM validation reports only chamfer/height_mae; the generic
+        # TrainConfig default ("point_loss") would KeyError at the end of the
+        # first epoch in _fit_loop. Coerce the registration default to the
+        # DEM default (the pre-r2 behavior) and reject anything else early.
+        if train_cfg.checkpoint_metric == "point_loss":
+            train_cfg = dataclasses.replace(train_cfg, checkpoint_metric="chamfer")
+        elif train_cfg.checkpoint_metric not in ("chamfer", "height_mae"):
+            raise ValueError(
+                f"DEMTrainer checkpoint_metric {train_cfg.checkpoint_metric!r} "
+                "is not produced by DEM validation (choose 'chamfer' or "
+                "'height_mae')")
         self.train_cfg = train_cfg
         self.render_cfg = render_cfg
         self.logger = logger or MetricsLogger(print_every=train_cfg.log_every)

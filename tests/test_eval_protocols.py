@@ -247,6 +247,39 @@ class TestFailedPairZeroAppend:
         assert out["success_rre"] == 3.0
 
 
+class TestAllScenesEmptyRaises:
+    def test_zero_counted_pairs_raise_instead_of_nan(self, monkeypatch):
+        """When every pair is idx-gap<=1 (nothing counted anywhere), the
+        protocol statistic is undefined — the evaluator must raise, not
+        return NaN means that look like a (terrible but valid) result."""
+        from types import SimpleNamespace
+
+        import scream_tpu.eval.protocols as P
+
+        def fake_register_batch(apply_fn, params, batch, **kw):
+            return SimpleNamespace(
+                re_deg=np.array([2.0, 4.0]),
+                te=np.array([0.2, 0.4]),
+                rmse=np.array([0.1, 0.1]),
+                n_corr=np.array([10, 10]),
+            )
+
+        monkeypatch.setattr(P, "register_batch", fake_register_batch)
+
+        class OneBatch:
+            def __iter__(self):
+                yield {
+                    "src": np.zeros((2, 8, 3), np.float32),
+                    # consecutive fragments: gap==1 -> filtered by the
+                    # reference's idx-gap>1 rule (evaluate_3d_match.py:128)
+                    "idx": np.array([[0, 1]] * 2),
+                    "scene": np.zeros(2, np.int64),
+                }
+
+        with pytest.raises(ValueError, match="no counted"):
+            P.evaluate_registration_per_scene(None, None, OneBatch())
+
+
 class TestEvalConfigWiring:
     def test_presets(self):
         from scream_tpu.config import eval_preset
