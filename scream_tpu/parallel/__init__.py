@@ -25,6 +25,8 @@ from scream_tpu.parallel.tp import (
 from scream_tpu.parallel.pp import (
     make_pipeline_mesh,
     pipeline_parallel_apply,
+    pipeline_parallel_grads,
+    pipeline_train_step,
     stack_stage_params,
 )
 from scream_tpu.parallel.ep import (
@@ -52,6 +54,8 @@ __all__ = [
     "tensor_parallel_step",
     "make_pipeline_mesh",
     "pipeline_parallel_apply",
+    "pipeline_parallel_grads",
+    "pipeline_train_step",
     "stack_stage_params",
     "expert_parallel_moe_ffn",
     "init_moe_ffn_params",

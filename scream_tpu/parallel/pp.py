@@ -14,6 +14,16 @@ Schedule: plain GPipe fill-and-drain. For ``n_micro`` microbatches and
 feeds a fresh microbatch every tick, the last stage emits a finished
 microbatch from tick ``n_stages - 1`` on. Bubble fraction =
 ``(n_stages-1) / (n_micro + n_stages - 1)`` — pick ``n_micro >> n_stages``.
+
+Training (:func:`pipeline_train_step`) differentiates straight through the
+pipelined forward: the transpose of the forward scan IS the reverse GPipe
+schedule (each `ppermute` transposes to the inverted ring permutation), so
+the backward pass drains microbatch cotangents stage-to-stage with the same
+overlap, and each device accumulates gradients for exactly its own stage's
+parameters — GPipe microbatch grad accumulation without a hand-written
+backward schedule. ``remat=True`` wraps the stage in `jax.checkpoint`,
+trading one extra stage forward per tick for O(1) activation memory per
+microbatch (the GPipe paper's rematerialization).
 """
 
 from __future__ import annotations
@@ -130,3 +140,67 @@ def pipeline_parallel_apply(
         check_vma=False,
     )
     return fn(stacked_params, microbatches)
+
+
+def pipeline_parallel_grads(
+    stage_fn: Callable,
+    loss_fn: Callable,
+    stacked_params,
+    microbatches,
+    targets,
+    mesh: Mesh,
+    axis: str = "pipe",
+    remat: bool = False,
+):
+    """Loss and per-stage parameter gradients through the GPipe pipeline.
+
+    ``loss_fn(preds, targets) -> scalar`` sees the full ``n_micro``-leading
+    prediction pytree; make it a mean over microbatches for gradients
+    identical to one large-batch step (GPipe grad accumulation). The returned
+    grads carry the same leading stage axis (and ``P(axis)`` sharding) as
+    ``stacked_params`` — each device only materializes its own stage's slice.
+
+    Gradient exactness: the drain-tick recompute in the forward (stage 0
+    re-feeding the last microbatch once fresh inputs run out) never reaches
+    the emitted output slice, so those paths receive zero cotangent and the
+    gradient equals the sequential stack's exactly (tested leaf-exact on the
+    virtual CPU mesh).
+    """
+    fn = jax.checkpoint(stage_fn) if remat else stage_fn
+
+    def loss_of(p):
+        preds = pipeline_parallel_apply(fn, p, microbatches, mesh, axis)
+        return loss_fn(preds, targets)
+
+    return jax.value_and_grad(loss_of)(stacked_params)
+
+
+def pipeline_train_step(
+    stage_fn: Callable,
+    loss_fn: Callable,
+    optimizer,
+    stacked_params,
+    opt_state,
+    microbatches,
+    targets,
+    mesh: Mesh,
+    axis: str = "pipe",
+    remat: bool = False,
+):
+    """One pipelined training step: forward, reverse-GPipe backward, optax
+    update. Returns ``(new_params, new_opt_state, loss)``.
+
+    The optimizer update is elementwise, so optimizer moments inherit the
+    per-stage ``P(axis)`` sharding of the gradients — each device holds only
+    its stage's Adam moments (the PP analogue of `tp.py`'s cached
+    optimizer-moment sharding). Jit the whole step with ``stage_fn`` /
+    ``loss_fn`` / ``optimizer`` closed over or static.
+    """
+    import optax
+
+    loss, grads = pipeline_parallel_grads(
+        stage_fn, loss_fn, stacked_params, microbatches, targets, mesh,
+        axis=axis, remat=remat,
+    )
+    updates, opt_state = optimizer.update(grads, opt_state, stacked_params)
+    return optax.apply_updates(stacked_params, updates), opt_state, loss
