@@ -706,9 +706,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--self-layers", type=int, default=None)
     t.add_argument("--cross-layers", type=int, default=None)
     t.add_argument("--mesh", default=None,
-                   help="multi-chip mesh, e.g. 'data=8', 'data=4,seq=2' or "
+                   help="multi-chip mesh, e.g. 'data=8', 'data=4,seq=2', "
+                        "'data=4,model=2' (Megatron tensor parallelism) or "
                         "'auto' (all chips on the data axis); batches shard "
-                        "over chips, gradients all-reduce over ICI")
+                        "over chips, collectives ride ICI")
     t.add_argument("--dtype", choices=["bfloat16", "float32"], default=None,
                    help="compute dtype override (bf16 is the TPU default)")
     t.add_argument("--profile-dir", default=None,

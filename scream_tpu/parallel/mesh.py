@@ -85,13 +85,21 @@ def parse_mesh_spec(spec: str, devices: Optional[Sequence] = None) -> Mesh:
         kv[k.strip()] = int(v)
     n_data = kv.pop("data", None)
     n_seq = kv.pop("seq", 1)
+    n_model = kv.pop("model", 1)
     if kv:
         raise ValueError(
             f"unknown mesh axes {sorted(kv)} in {spec!r}; the trainer path "
-            "supports data and seq (tensor/pipeline/expert parallelism are "
+            "supports data, seq and model (pipeline/expert parallelism are "
             "library APIs, scream_tpu.parallel)"
         )
-    return make_mesh(n_data=n_data, n_seq=n_seq, devices=devices)
+    if n_seq > 1 and n_model > 1:
+        raise ValueError(
+            f"mesh spec {spec!r}: the trainer path combines model= with "
+            "data= only (seq x model 3-D training is a library-API "
+            "composition, not a one-flag preset)"
+        )
+    return make_mesh(n_data=n_data, n_seq=n_seq, n_model=n_model,
+                     devices=devices)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -70,12 +70,15 @@ def _maybe_dump_gan_sample(trainer, fake, epoch: int) -> None:
 
 
 def _wrap_steps_for_mesh(trainer, mesh) -> None:
-    """Wrap a trainer's jitted steps for the mesh: DP (data) or 2-D DP x SP
-    (data x seq) for the generator step, DP for the discriminator step.
+    """Wrap a trainer's jitted steps for the mesh: DP (data), 2-D DP x SP
+    (data x seq), or 2-D DP x TP (data x model) for the generator step,
+    DP for the discriminator step.
 
-    This is the one-flag multi-chip path (`--mesh data=N[,seq=M]`): params
-    and optimizer state replicate, batches shard, XLA inserts the gradient
-    all-reduce over ICI (`scream_tpu/parallel/dp.py`).
+    This is the one-flag multi-chip path (`--mesh data=N[,seq=M|,model=K]`):
+    under DP/SP params and optimizer state replicate; under TP the attention
+    kernels shard Megatron column/row over the model axis and the Adam
+    moments inherit the same layout (`scream_tpu/parallel/tp.py`). Batches
+    shard over data either way; XLA inserts every collective over ICI.
     """
     if mesh is None:
         return
@@ -83,10 +86,14 @@ def _wrap_steps_for_mesh(trainer, mesh) -> None:
         data_parallel_arrays_step,
         data_parallel_step,
         data_seq_parallel_step,
+        tensor_parallel_step,
     )
 
     seq = mesh.shape.get("seq", 1) if "seq" in mesh.axis_names else 1
-    if seq > 1:
+    model = mesh.shape.get("model", 1) if "model" in mesh.axis_names else 1
+    if model > 1:
+        trainer.train_step = tensor_parallel_step(trainer.train_step, mesh)
+    elif seq > 1:
         trainer.train_step = data_seq_parallel_step(
             trainer.train_step, mesh, seq_keys=trainer._seq_keys
         )

@@ -40,11 +40,17 @@ class TestMeshSpec:
         assert parse_mesh_spec("auto").shape["data"] == len(jax.devices())
         assert parse_mesh_spec("seq=2").shape["data"] == len(jax.devices()) // 2
 
+    def test_parse_model_axis(self):
+        m = parse_mesh_spec("data=2,model=2")
+        assert m.shape["data"] == 2 and m.shape["model"] == 2
+
     def test_parse_errors(self):
         with pytest.raises(ValueError, match="axis=N"):
             parse_mesh_spec("8")
         with pytest.raises(ValueError, match="unknown mesh axes"):
-            parse_mesh_spec("data=4,model=2")
+            parse_mesh_spec("data=4,pipe=2")
+        with pytest.raises(ValueError, match="model= with"):
+            parse_mesh_spec("data=2,seq=2,model=2")
 
 
 class TestDPTrainerEquivalence:
@@ -78,6 +84,21 @@ class TestDPTrainerEquivalence:
         t.init()
         out = t.train_epoch(1)
         assert np.isfinite(out["point_loss"])
+
+    def test_dp_tp_epoch_matches_single_device(self):
+        """One epoch of 2-D (data x model) training — Megatron kernel
+        shardings via the trainer's mesh= argument — matches single-device
+        parameters (the TP analogue of the DP equivalence above)."""
+        single = _tiny_trainer(mesh=None)
+        tp = _tiny_trainer(mesh=make_mesh(n_data=2, n_seq=1, n_model=4))
+        single.init()
+        tp.init()
+        single.train_epoch(1)
+        tp.train_epoch(1)
+        for a, b in zip(jax.tree_util.tree_leaves(single.state.params),
+                        jax.tree_util.tree_leaves(tp.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
 
     def test_partial_trailing_batch_under_mesh(self):
         """A drop_last=False loader's trailing partial batch (here 20 % 8 =
@@ -162,6 +183,18 @@ class TestCLIMesh:
         tiny_presets.main([
             "train", "3dmatch", "--root", str(tmp_path / "none"),
             "--epochs", "2", "--batch-size", "8", "--mesh", "data=8",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+        ])
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        final = json.loads(out)["final_val"]
+        assert np.isfinite(final["point_loss"])
+
+    def test_train_with_tp_mesh_flag(self, tiny_presets, tmp_path, capsys):
+        """Tensor parallelism is one flag away: --mesh data=2,model=2."""
+        tiny_presets.main([
+            "train", "3dmatch", "--root", str(tmp_path / "none"),
+            "--epochs", "2", "--batch-size", "8",
+            "--mesh", "data=2,model=2",
             "--checkpoint-dir", str(tmp_path / "ckpt"),
         ])
         out = capsys.readouterr().out.strip().splitlines()[-1]
