@@ -101,6 +101,23 @@ def linear_attention(
     return out.astype(q.dtype)
 
 
+class _ProjKernel(nn.Module):
+    """Bare ``(in, out)`` matmul kernel with the same ``{name: {"kernel": W}}``
+    param layout as ``nn.Dense(use_bias=False)`` — so checkpoints, the
+    ``.pth`` converter and the TP column/row specs are all unchanged — but
+    returning the raw weight so q/k/v projections can be fused into one
+    matmul at apply time (see :class:`AttentionBlock`)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int) -> jnp.ndarray:
+        return self.param(
+            "kernel", nn.initializers.xavier_uniform(),
+            (in_features, self.features), jnp.float32,
+        )
+
+
 class AttentionBlock(nn.Module):
     """MHA block: q/k/v projections -> linear attention -> merge -> FFN.
 
@@ -108,6 +125,14 @@ class AttentionBlock(nn.Module):
     (`models/transformer.py:74-90`): both norms add the block *input* q,
     not the intermediate message. LayerNorm epsilon is 1e-5, torch's
     default, for numerical parity (flax defaults to 1e-6).
+
+    The q/k/v projections fuse into a single matmul whenever the inputs are
+    the same traced array (self-attention: one ``(d, 3d)`` matmul; cross
+    attention with shared k/v input: q alone + one ``(d, 2d)``). The fused
+    form reads the activation operand — the large one — from HBM once
+    instead of three times; concatenating the kernels costs one tiny
+    ``(d, 3d)`` copy. Same math per output element, so it is numerically
+    identical to three separate Dense calls.
     """
 
     d_model: int
@@ -130,9 +155,25 @@ class AttentionBlock(nn.Module):
         B, L = q.shape[0], q.shape[1]
         S = k.shape[1]
 
-        query = dense("q_proj")(q).reshape(B, L, self.num_heads, head_dim)
-        key = dense("k_proj")(k).reshape(B, S, self.num_heads, head_dim)
-        value = dense("v_proj")(v).reshape(B, S, self.num_heads, head_dim)
+        # Params always exist under q_proj/k_proj/v_proj regardless of which
+        # fusion the call pattern selects (flax requires unconditional
+        # module creation; tracer identity is a trace-time constant).
+        Wq = _ProjKernel(self.d_model, name="q_proj")(q.shape[-1])
+        Wk = _ProjKernel(self.d_model, name="k_proj")(k.shape[-1])
+        Wv = _ProjKernel(self.d_model, name="v_proj")(v.shape[-1])
+        mm = lambda x, W: x.astype(self.dtype) @ W.astype(self.dtype)
+        if (k is q) and (v is q):
+            qkv = mm(q, jnp.concatenate([Wq, Wk, Wv], axis=1))
+            query, key, value = jnp.split(qkv, 3, axis=-1)
+        elif v is k:
+            query = mm(q, Wq)
+            key, value = jnp.split(mm(k, jnp.concatenate([Wk, Wv], axis=1)),
+                                   2, axis=-1)
+        else:
+            query, key, value = mm(q, Wq), mm(k, Wk), mm(v, Wv)
+        query = query.reshape(B, L, self.num_heads, head_dim)
+        key = key.reshape(B, S, self.num_heads, head_dim)
+        value = value.reshape(B, S, self.num_heads, head_dim)
 
         message = linear_attention(query, key, value, q_mask, kv_mask)
         message = dense("merge")(message.reshape(B, L, self.d_model))

@@ -81,6 +81,43 @@ class TestLinearAttention:
         assert np.allclose(ours, ref, atol=1e-4)
 
 
+class TestQKVFusion:
+    def test_fused_matches_separate_projections(self, rng):
+        """Passing the same traced array as q/k/v selects the fused qkv
+        matmul; distinct arrays with equal values select three separate
+        matmuls. Both must agree (the fusion is a pure layout change)."""
+        import numpy as np
+
+        from scream_tpu.models.attention import AttentionBlock
+
+        blk = AttentionBlock(64, 4, dtype=jnp.float32)
+        x = jnp.asarray(rng.standard_normal((2, 32, 64)), jnp.float32)
+        params = blk.init(jax.random.PRNGKey(2), x, x, x)["params"]
+        fused = blk.apply({"params": params}, x, x, x)
+        # x + 0.0 twice -> three distinct tracers -> unfused branch.
+        unfused = blk.apply({"params": params}, x, x + 0.0, x + 0.0)
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(unfused), atol=1e-5)
+        # Cross-attention kv fusion: (q, kv, kv) vs fully separate.
+        y = jnp.asarray(rng.standard_normal((2, 24, 64)), jnp.float32)
+        kv_fused = blk.apply({"params": params}, x, y, y)
+        kv_unfused = blk.apply({"params": params}, x, y, y + 0.0)
+        np.testing.assert_allclose(
+            np.asarray(kv_fused), np.asarray(kv_unfused), atol=1e-5)
+
+    def test_param_layout_unchanged(self):
+        """The fused block keeps nn.Dense's {proj: {kernel}} param layout —
+        shipped orbax checkpoints and the .pth converter depend on it."""
+        from scream_tpu.models.attention import AttentionBlock
+
+        blk = AttentionBlock(32, 4, dtype=jnp.float32)
+        x = jnp.zeros((1, 8, 32), jnp.float32)
+        params = blk.init(jax.random.PRNGKey(0), x, x, x)["params"]
+        for name in ("q_proj", "k_proj", "v_proj"):
+            assert set(params[name].keys()) == {"kernel"}
+            assert params[name]["kernel"].shape == (32, 32)
+
+
 class TestPointTransformer:
     def _init(self, cfg=TINY, n=32, m=40, batch=2, seed=0):
         rng = np.random.default_rng(seed)
