@@ -480,7 +480,7 @@ def cmd_register(args):
 
     from scream_tpu.config import ModelConfig
     from scream_tpu.models.point_transformer import PointTransformer
-    from scream_tpu.pipeline import register_pair
+    from scream_tpu.pipeline import register_pair, register_pair_robust
     from scream_tpu.utils.checkpoint import load_params
 
     src = np.load(args.src).astype(np.float32)
@@ -522,11 +522,19 @@ def cmd_register(args):
     def apply_fn(p, s, t, sm, tm, c):
         return model.apply({"params": p}, s, t, sm, tm, c)
 
-    res = register_pair(
-        apply_fn, params, src, tgt,
-        normalize=normalize, dis_thresh=args.dis_thresh,
-        icp_thresh=args.icp_thresh, icp_max_iter=args.icp_max_iter,
-    )
+    if args.robust:
+        res = register_pair_robust(
+            apply_fn, params, src, tgt,
+            normalize=normalize, dis_thresh=args.dis_thresh,
+            icp_thresh=args.icp_thresh, icp_max_iter=args.icp_max_iter,
+        )
+    else:
+        res = register_pair(
+            apply_fn, params, src, tgt,
+            normalize=normalize, dis_thresh=args.dis_thresh,
+            icp_thresh=args.icp_thresh, icp_max_iter=args.icp_max_iter,
+            passes=args.passes,
+        )
     out = {
         "transform": res.transform.tolist(),
         "fitness": res.fitness,
@@ -776,6 +784,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--dis-thresh", type=float, default=0.1)
     r.add_argument("--icp-thresh", type=float, default=0.1)
     r.add_argument("--icp-max-iter", type=int, default=30)
+    r.add_argument("--passes", type=int, default=2,
+                   help="iterative re-registration rounds (extra rounds are "
+                        "fitness-gated and exit early, so they never hurt)")
+    r.add_argument("--robust", action="store_true",
+                   help="multi-start + coarse-to-fine search for LARGE "
+                        "unknown poses (~20x cost; see "
+                        "pipeline.register_pair_robust)")
     r.add_argument("--out", default=None, help="save the 4x4 transform here")
     r.add_argument("--d-model", type=int, default=None)
     r.add_argument("--self-layers", type=int, default=None)

@@ -8,6 +8,7 @@ from scream_tpu.pipeline.register import (
     in_forward_transform,
     register_batch,
     register_pair,
+    register_pair_robust,
     solve_pose,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "in_forward_transform",
     "register_batch",
     "register_pair",
+    "register_pair_robust",
     "solve_pose",
 ]

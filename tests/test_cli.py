@@ -316,7 +316,8 @@ class TestRegisterCLI:
             return init
 
         def fake_register_pair(apply_fn, params, src, tgt, normalize,
-                               dis_thresh, icp_thresh, icp_max_iter):
+                               dis_thresh, icp_thresh, icp_max_iter,
+                               passes=2):
             captured["normalize"] = normalize
             from scream_tpu.pipeline.register import PairRegistration
             return PairRegistration(np.eye(4), 1.0, 0.0, 16)

@@ -150,6 +150,96 @@ class TestRegisterPair:
             register_pair(lambda *a: None, None, np.zeros((4, 3)),
                           np.zeros((4, 3)), normalize="nope")
 
+    def test_bad_passes_raises(self):
+        from scream_tpu.pipeline import register_pair
+
+        with pytest.raises(ValueError, match="passes"):
+            register_pair(lambda *a: None, None, np.zeros((4, 3)),
+                          np.zeros((4, 3)), passes=0)
+
+
+def _basin_limited_oracle(src, tgt, R, t, basin_deg=70.0):
+    """An apply_fn emulating the real hint-free model's failure mode: it
+    predicts the GT-aligned source only when the input pair is already
+    within ``basin_deg`` of aligned, and otherwise 'gives up' (returns the
+    source unchanged). register_pair cannot recover a pose far outside the
+    basin through such a model; register_pair_robust must (its rotation
+    starts guarantee some seed lands within ~62 degrees of any pose).
+
+    The oracle receives normalized clouds; it reconstructs the frame from
+    the FIXED target (tgt rows are identical across calls), un-normalizes
+    the current source, and measures its misalignment against the GT
+    destination of the original source rows (row order is preserved by
+    pad_cloud).
+    """
+    import jax.numpy as jnp
+
+    from scream_tpu.geometry.kabsch import kabsch
+
+    gt_pos = src @ R.T + t  # fixed destination of every original src row
+
+    def oracle(params, s_n, t_n, sm, tm, c_hint):
+        n, m = len(src), len(tgt)
+        t_valid = np.asarray(t_n[0][:m])
+        # tgt_n = s * (tgt - c): solve the two frame constants from spans.
+        s = float(np.linalg.norm(t_valid - t_valid.mean(0)) /
+                  np.linalg.norm(tgt - tgt.mean(0)))
+        c = tgt.mean(0) - np.asarray(t_valid.mean(0)) / s
+        src_cur = np.asarray(s_n[0][:n]) / s + c
+        T = np.asarray(kabsch(jnp.asarray(src_cur)[None],
+                              jnp.asarray(gt_pos)[None])[0])
+        angle = np.rad2deg(np.arccos(np.clip(
+            (np.trace(T[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)))
+        if angle < basin_deg:
+            pred = (s * (gt_pos - c)).astype(np.float32)
+        else:
+            pred = np.asarray(s_n[0][:n])  # out of basin: give up
+        out = np.zeros(s_n.shape[1:], np.float32)
+        out[:n] = pred
+        return jnp.asarray(out)[None]
+
+    return oracle
+
+
+class TestRegisterPairRobust:
+    def test_rotation_starts_are_proper_and_cover(self):
+        from scream_tpu.pipeline.register import _rotation_starts
+
+        starts = _rotation_starts()
+        assert len(starts) == 7
+        for R in starts:
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+            assert np.linalg.det(R) == pytest.approx(1.0, abs=1e-6)
+
+    def test_recovers_large_pose_where_plain_fails(self):
+        """A 120-degree pose through a 70-degree-basin model: plain
+        register_pair stays lost, the robust search recovers it."""
+        from scream_tpu.pipeline import register_pair, register_pair_robust
+
+        rng = np.random.default_rng(7)
+        scene = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+        src = scene[rng.choice(300, 180, replace=False)]
+        a = np.deg2rad(120.0)
+        R = np.array([[np.cos(a), -np.sin(a), 0.0],
+                      [np.sin(a), np.cos(a), 0.0],
+                      [0.0, 0.0, 1.0]], np.float32)
+        t = np.array([0.1, -0.05, 0.2], np.float32)
+        tgt = (scene[rng.choice(300, 200, replace=False)] @ R.T + t).astype(
+            np.float32)
+        oracle = _basin_limited_oracle(src, tgt, R, t)
+
+        plain = register_pair(oracle, None, src, tgt, corr="src_pred",
+                              dis_thresh=10.0, passes=2)
+        plain_angle = np.rad2deg(np.arccos(np.clip(
+            (np.trace(plain.transform[:3, :3] @ R.T) - 1.0) / 2.0, -1, 1)))
+        robust = register_pair_robust(oracle, None, src, tgt,
+                                      corr="src_pred", dis_thresh=10.0)
+        rob_angle = np.rad2deg(np.arccos(np.clip(
+            (np.trace(robust.transform[:3, :3] @ R.T) - 1.0) / 2.0, -1, 1)))
+        assert plain_angle > 30.0  # the basin-limited model cannot get there
+        assert rob_angle < 10.0
+        np.testing.assert_allclose(robust.transform[:3, 3], t, atol=0.1)
+
 
 class TestRegisterBatch:
     def test_end_to_end_oracle(self):
