@@ -406,6 +406,23 @@ def breakdown():
     _emit({"metric": "forward_mfu_pct", "value": round(mfu * 100.0, 2),
            "unit": "%", "note": "analytic FLOPs vs 197 TF/s v5e bf16 peak"})
 
+    # Lever probe: bf16 LayerNorms (the forward's largest non-matmul HBM
+    # consumer; models/attention.py norm_dtype). Same params tree — only the
+    # norm compute dtype changes — so this quantifies the memory-bound share
+    # the norms are responsible for. Skipped on the forced-f32 smoke path.
+    if DTYPE == "bfloat16" and NORM_DTYPE != "bfloat16":
+        model_bf = PointTransformer(ModelConfig(dtype=DTYPE,
+                                                norm_dtype="bfloat16"))
+        fwd_bf = jax.jit(lambda b: model_bf.apply(
+            {"params": params}, b["src"], b["tgt"], b["src_mask"],
+            b["tgt_mask"], jnp.swapaxes(b["trans"], -1, -2)))
+        t_fwd_bf = _timed(fwd_bf, perturbed)
+        mfu_bf = flops * BATCH / t_fwd_bf / V5E_PEAK_BF16_FLOPS
+        _emit({"metric": "breakdown_forward_bf16norm_ms_per_batch",
+               "value": round(t_fwd_bf * 1e3, 2), "unit": "ms",
+               "mfu_pct": round(mfu_bf * 100.0, 2),
+               "note": "norm_dtype=bfloat16 vs the fp32-norm default above"})
+
 
 _FLUSHED = [0]
 
