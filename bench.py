@@ -44,6 +44,7 @@ ICP_ITERS = int(os.environ.get("BENCH_ICP_ITERS", 30))
 # The forced-CPU test backend cannot execute bf16 dots; the smoke test sets f32.
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 NORM_DTYPE = os.environ.get("BENCH_NORM_DTYPE", "float32")
+TRACE_DIR = None  # set by --trace
 
 
 def main():
@@ -137,6 +138,19 @@ def main():
         f"median_re_deg={float(jnp.median(m.re_deg)):.3f}",
         file=sys.stderr,
     )
+
+    # Optional: capture an XLA profiler trace of two steady-state batches at
+    # the headline operating point (--trace DIR; view with xprof/TensorBoard).
+    # Separate from the timed loop above so tracing overhead never pollutes
+    # the reported pairs/sec.
+    if TRACE_DIR is not None:
+        from scream_tpu.utils.profiling import annotate, trace
+
+        with trace(TRACE_DIR):
+            for b in batches[:2]:
+                with annotate("register_batch"):
+                    np.asarray(dispatch(b).transform)
+        print(f"# trace written to {TRACE_DIR}", file=sys.stderr)
 
     # Secondary: throughput mode (exact NN over a strided 1024-point ICP
     # subsample; pose quality matches full ICP on oracle checks).
@@ -508,12 +522,18 @@ if __name__ == "__main__":
                 sys.exit(2)
             write_path = args[i + 1]
             i += 2
+        elif a == "--trace":
+            if i + 1 >= len(args) or args[i + 1].startswith("--"):
+                sys.stderr.write("bench.py: --trace requires a directory operand\n")
+                sys.exit(2)
+            TRACE_DIR = args[i + 1]
+            i += 2
         elif a in ("--suite", "--breakdown"):
             i += 1
         else:
             sys.stderr.write(
                 f"bench.py: unknown argument {a!r} "
-                "(known: --suite --breakdown --write PATH)\n")
+                "(known: --suite --breakdown --write PATH --trace DIR)\n")
             sys.exit(2)
     _probe_backend()
     try:
