@@ -480,15 +480,42 @@ def cmd_register(args):
 
     from scream_tpu.config import ModelConfig
     from scream_tpu.models.point_transformer import PointTransformer
-    from scream_tpu.pipeline import register_pair, register_pair_robust
+    from scream_tpu.pipeline import (
+        register_pair,
+        register_pair_robust,
+        register_pairs,
+    )
     from scream_tpu.utils.checkpoint import load_params
 
-    src = np.load(args.src).astype(np.float32)
-    tgt = np.load(args.tgt).astype(np.float32)
-    for name, arr in (("src", src), ("tgt", tgt)):
+    def load_cloud(path, name):
+        arr = np.load(path).astype(np.float32)
         if arr.ndim != 2 or arr.shape[1] != 3:
             raise SystemExit(f"{name}: expected an (N, 3) .npy cloud, "
                              f"got shape {arr.shape}")
+        return arr
+
+    manifest = None
+    if args.manifest:
+        if args.src or args.tgt:
+            raise SystemExit("--manifest and --src/--tgt are exclusive")
+        manifest = []
+        with open(args.manifest) as f:
+            for ln, line in enumerate(f, 1):
+                parts = line.split()
+                if not parts:
+                    continue
+                if len(parts) != 2:
+                    raise SystemExit(
+                        f"{args.manifest}:{ln}: expected 'src.npy tgt.npy'")
+                manifest.append((load_cloud(parts[0], f"line {ln} src"),
+                                 load_cloud(parts[1], f"line {ln} tgt")))
+        if not manifest:
+            raise SystemExit(f"{args.manifest}: no pairs")
+    elif not (args.src and args.tgt):
+        raise SystemExit("need --src and --tgt (or --manifest)")
+    else:
+        src = load_cloud(args.src, "src")
+        tgt = load_cloud(args.tgt, "tgt")
 
     model_cfg = ModelConfig()
     normalize = args.normalize
@@ -522,6 +549,24 @@ def cmd_register(args):
     def apply_fn(p, s, t, sm, tm, c):
         return model.apply({"params": p}, s, t, sm, tm, c)
 
+    if manifest is not None:
+        # Batched serving path: one compile per (capacity, batch) shape,
+        # reused across the whole stream; one JSON line per pair.
+        results = register_pairs(
+            apply_fn, params, manifest,
+            normalize=normalize, dis_thresh=args.dis_thresh,
+            icp_thresh=args.icp_thresh, icp_max_iter=args.icp_max_iter,
+            batch_size=args.batch_size,
+        )
+        for i, res in enumerate(results):
+            print(json.dumps({
+                "pair": i,
+                "transform": res.transform.tolist(),
+                "fitness": res.fitness,
+                "inlier_rmse": res.inlier_rmse,
+                "n_corr": res.n_corr,
+            }))
+        return
     if args.robust:
         res = register_pair_robust(
             apply_fn, params, src, tgt,
@@ -773,8 +818,14 @@ def build_parser() -> argparse.ArgumentParser:
         "register",
         help="GT-free: align two raw .npy clouds, print the 4x4 transform",
     )
-    r.add_argument("--src", required=True, help="(N, 3) .npy source cloud")
-    r.add_argument("--tgt", required=True, help="(M, 3) .npy target cloud")
+    r.add_argument("--src", default=None, help="(N, 3) .npy source cloud")
+    r.add_argument("--tgt", default=None, help="(M, 3) .npy target cloud")
+    r.add_argument("--manifest", default=None,
+                   help="file of 'src.npy tgt.npy' lines: register the whole "
+                        "stream batched (one compile, batch_size pairs per "
+                        "forward), one JSON line per pair")
+    r.add_argument("--batch-size", type=int, default=8,
+                   help="pairs per forward in --manifest mode")
     r.add_argument("--params", default=None, help="orbax params dir")
     r.add_argument("--normalize", choices=["unit_sphere", "unit_cube"],
                    default=None,

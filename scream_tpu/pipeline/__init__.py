@@ -9,6 +9,7 @@ from scream_tpu.pipeline.register import (
     register_batch,
     register_pair,
     register_pair_robust,
+    register_pairs,
     solve_pose,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "register_batch",
     "register_pair",
     "register_pair_robust",
+    "register_pairs",
     "solve_pose",
 ]

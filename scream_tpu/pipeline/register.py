@@ -426,6 +426,120 @@ def register_pair(
     return best
 
 
+@partial(jax.jit, static_argnames=("apply_fn", "dis_thresh", "corr",
+                                   "icp_thresh", "icp_max_iter"))
+def _register_pairs_batch(
+    apply_fn, params, b, dis_thresh, corr, icp_thresh, icp_max_iter
+):
+    """Jitted core of :func:`register_pairs`: batched GT-free forward +
+    solve + always-accept vmapped ICP. ``b`` uses the loader key schema
+    minus GT (src/tgt/masks/scale/center)."""
+    from scream_tpu.geometry.icp import registration_icp
+
+    src_pred = apply_fn(params, b["src"], b["tgt"], b["src_mask"],
+                        b["tgt_mask"], None).astype(jnp.float32)
+    sol = solve_pose(b["src"], src_pred, b["tgt"], b["src_mask"],
+                     b["tgt_mask"], b["scale"], b["center"],
+                     dis_thresh=dis_thresh, corr=corr)
+    inv_s = (1.0 / b["scale"])[:, None, None]
+    src_dn = b["src"] * inv_s + b["center"][:, None, :]
+    tgt_dn = b["tgt"] * inv_s + b["center"][:, None, :]
+
+    def one(s, t, sm, tm, T0):
+        r = registration_icp(s, t, icp_thresh, init=T0,
+                             max_iteration=icp_max_iter,
+                             src_mask=sm, tgt_mask=tm)
+        return r.transformation, r.fitness, r.inlier_rmse
+
+    T, fit, rmse = jax.vmap(one)(src_dn, tgt_dn, b["src_mask"],
+                                 b["tgt_mask"], sol.transform)
+    return T, fit, rmse, sol.n_corr
+
+
+def register_pairs(
+    apply_fn: Callable,
+    params,
+    pairs,
+    normalize: str = "unit_sphere",
+    dis_thresh: float = 0.1,
+    corr: str = "tgt",
+    icp_thresh: float = 0.1,
+    icp_max_iter: int = 30,
+    capacity: Optional[int] = None,
+    batch_size: int = 8,
+) -> list:
+    """GT-free registration of MANY raw cloud pairs — the serving path.
+
+    :func:`register_pair` pays one forward dispatch per pair;
+    this batches ``batch_size`` pairs per forward (the model and ICP are
+    batched/vmapped — one compile per (capacity, batch) shape, reused across
+    calls), which is how a deployment registers a stream of scan pairs at
+    throughput. Semantics per pair match ``register_pair(..., passes=1)``:
+    per-pair union normalization as given, masked-centroid center fallback,
+    always-accepted ICP from the Kabsch initialization.
+
+    Args:
+      pairs: iterable of ``(src, tgt)`` numpy ``(N, 3)`` cloud tuples.
+      capacity: shared padded size; defaults to the max cloud length over
+        all pairs rounded up to 256 (one compile for the whole call).
+      batch_size: pairs per forward dispatch; the trailing partial batch
+        pads with the last pair and discards the duplicates.
+
+    Returns a list of :class:`PairRegistration` (transforms in each pair's
+    ORIGINAL input frame), in input order.
+    """
+    from scream_tpu.data.batching import pad_cloud
+
+    pairs = [(np.asarray(s, np.float32), np.asarray(t, np.float32))
+             for s, t in pairs]
+    if not pairs:
+        return []
+    cap = capacity or (
+        max(max(len(s), len(t)) for s, t in pairs) + 255) // 256 * 256
+
+    norm = []
+    for s, t in pairs:
+        union = np.concatenate([s, t], axis=0)
+        if normalize == "unit_sphere":
+            c = union.mean(axis=0)
+            sc = 1.0 / max(float(np.max(np.linalg.norm(union - c, axis=1))),
+                           1e-12)
+        elif normalize == "unit_cube":
+            lo, hi = union.min(axis=0), union.max(axis=0)
+            c = (lo + hi) / 2.0
+            sc = 2.0 / max(float(np.max(hi - lo)), 1e-12)
+        else:
+            raise ValueError(f"unknown normalize mode {normalize!r}")
+        sp, sm = pad_cloud((sc * (s - c)).astype(np.float32), cap)
+        tp, tm = pad_cloud((sc * (t - c)).astype(np.float32), cap)
+        norm.append((sp, sm, tp, tm, np.float32(sc), c.astype(np.float32)))
+
+    out = []
+    for lo in range(0, len(norm), batch_size):
+        chunk = norm[lo:lo + batch_size]
+        n_real = len(chunk)
+        while len(chunk) < batch_size:  # pad the trailing batch
+            chunk.append(chunk[-1])
+        b = {
+            "src": jnp.asarray(np.stack([c[0] for c in chunk])),
+            "src_mask": jnp.asarray(np.stack([c[1] for c in chunk])),
+            "tgt": jnp.asarray(np.stack([c[2] for c in chunk])),
+            "tgt_mask": jnp.asarray(np.stack([c[3] for c in chunk])),
+            "scale": jnp.asarray(np.stack([c[4] for c in chunk])),
+            "center": jnp.asarray(np.stack([c[5] for c in chunk])),
+        }
+        T, fit, rmse, n_corr = _register_pairs_batch(
+            apply_fn, params, b, dis_thresh, corr, icp_thresh, icp_max_iter)
+        T, fit = np.asarray(T), np.asarray(fit)
+        rmse, n_corr = np.asarray(rmse), np.asarray(n_corr)
+        for k in range(n_real):
+            out.append(PairRegistration(
+                transform=T[k], fitness=float(fit[k]),
+                inlier_rmse=float(rmse[k]), n_corr=int(n_corr[k]),
+            ))
+    return out
+
+
 def _rotation_starts() -> list:
     """Identity + the six 90-degree axis rotations: every SO(3) pose is
     within ~62 degrees of one of them (vs 180 for identity alone)."""

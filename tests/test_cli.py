@@ -294,6 +294,46 @@ class TestRegisterCLI:
         # test in tests/test_pipeline_register.py::TestRegisterPair.
         assert T[3, 3] == 1.0 and np.allclose(T[3, :3], 0.0)
 
+    def test_register_manifest_batched(self, capsys, tmp_path):
+        """`register --manifest pairs.txt` registers a stream of pairs
+        batched, one JSON line each, in input order."""
+        import numpy as np
+
+        rng = np.random.default_rng(4)
+        lines = []
+        for k in range(3):
+            s = rng.uniform(-1, 1, (100 + 10 * k, 3)).astype(np.float32)
+            np.save(tmp_path / f"s{k}.npy", s)
+            np.save(tmp_path / f"t{k}.npy", s + np.float32([0.03, 0.0, 0.0]))
+            lines.append(f"{tmp_path}/s{k}.npy {tmp_path}/t{k}.npy")
+        (tmp_path / "pairs.txt").write_text("\n".join(lines) + "\n")
+
+        main(["register", "--manifest", str(tmp_path / "pairs.txt"),
+              "--batch-size", "2",
+              "--d-model", "32", "--self-layers", "1", "--cross-layers", "1",
+              "--dtype", "float32"])
+        rows = [json.loads(l) for l in
+                capsys.readouterr().out.strip().splitlines()]
+        assert [r["pair"] for r in rows] == [0, 1, 2]
+        for r in rows:
+            T = np.asarray(r["transform"])
+            assert T.shape == (4, 4) and np.isfinite(T).all()
+            assert 0.0 <= r["fitness"] <= 1.0
+
+    def test_register_manifest_conflicts_and_validation(self, tmp_path):
+        import numpy as np
+
+        np.save(tmp_path / "a.npy", np.zeros((8, 3), np.float32))
+        (tmp_path / "m.txt").write_text(f"{tmp_path}/a.npy\n")
+        with pytest.raises(SystemExit, match="exclusive"):
+            main(["register", "--manifest", str(tmp_path / "m.txt"),
+                  "--src", str(tmp_path / "a.npy"),
+                  "--tgt", str(tmp_path / "a.npy")])
+        with pytest.raises(SystemExit, match="expected 'src.npy tgt.npy'"):
+            main(["register", "--manifest", str(tmp_path / "m.txt")])
+        with pytest.raises(SystemExit, match="need --src and --tgt"):
+            main(["register"])
+
     def test_register_reads_model_config_sidecar(self, tmp_path, monkeypatch,
                                                  capsys):
         """A checkpoint's model_config.json sidecar supplies the architecture

@@ -201,6 +201,64 @@ def _basin_limited_oracle(src, tgt, R, t, basin_deg=70.0):
     return oracle
 
 
+class TestRegisterPairs:
+    """Batched GT-free serving path: register_pairs must agree with the
+    single-pair register_pair(passes=1) on every pair."""
+
+    def _pairs(self, rng, n_pairs=5):
+        from scipy.spatial.transform import Rotation
+
+        out = []
+        for k in range(n_pairs):
+            scene = rng.uniform(-2, 2, (400, 3)).astype(np.float32) + 5.0
+            src = scene[rng.choice(400, 200 + 7 * k, replace=False)]
+            R = Rotation.from_rotvec(rng.normal(size=3) * 0.1).as_matrix()
+            t = rng.normal(size=3) * 0.3
+            tgt = (scene[rng.choice(400, 240, replace=False)] @ R.T + t)
+            out.append((src.astype(np.float32), tgt.astype(np.float32)))
+        return out
+
+    def test_matches_single_pair_path(self):
+        import jax
+        import jax.numpy as jnp
+
+        from scream_tpu.config import ModelConfig
+        from scream_tpu.models.point_transformer import PointTransformer
+        from scream_tpu.pipeline import register_pair, register_pairs
+
+        rng = np.random.default_rng(3)
+        pairs = self._pairs(rng)
+        model = PointTransformer(ModelConfig(d_model=32, num_heads=4,
+                                             self_layers=1, cross_layers=1,
+                                             dtype="float32"))
+        z = jnp.zeros((1, 8, 3))
+        params = model.init(jax.random.PRNGKey(0), z, z,
+                            jnp.ones((1, 8), bool), jnp.ones((1, 8), bool),
+                            jnp.zeros((1, 1, 3)))["params"]
+
+        def apply_fn(p, s, t, sm, tm, c):
+            return model.apply({"params": p}, s, t, sm, tm, c)
+
+        cap = 256  # shared capacity so both paths trace identical shapes
+        batched = register_pairs(apply_fn, params, pairs, capacity=cap,
+                                 batch_size=2, icp_max_iter=3)
+        assert len(batched) == len(pairs)
+        for (s, t), got in zip(pairs, batched):
+            want = register_pair(apply_fn, params, s, t, capacity=cap,
+                                 icp_max_iter=3, passes=1)
+            np.testing.assert_allclose(got.transform, want.transform,
+                                       atol=1e-4)
+            assert got.n_corr == want.n_corr
+            assert got.fitness == pytest.approx(want.fitness, abs=1e-5)
+
+    def test_empty_and_trailing_batch(self):
+        from scream_tpu.pipeline import register_pairs
+
+        assert register_pairs(lambda *a: None, None, []) == []
+        # 3 pairs at batch_size=2: the trailing batch pads with a duplicate
+        # that must NOT appear in the output (exercised above with 5@2 too).
+
+
 class TestRegisterPairRobust:
     def test_rotation_starts_are_proper_and_cover(self):
         from scream_tpu.pipeline.register import _rotation_starts
