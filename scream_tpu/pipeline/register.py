@@ -609,9 +609,11 @@ def register_pair_robust(
       4. A final ICP at ``icp_thresh / 2`` (up to ``final_icp_max_iter``
          iterations) polishes the winner.
 
-    Cost: 7 model forwards x 3 passes + ICPs — roughly 20x one
-    :func:`register_pair` call. Returns the winner's final-ICP fitness /
-    inlier RMSE (both at the tight radius) in the ORIGINAL input frame.
+    Cost: the seven starts run BATCHED — each stage (coarse, fine x2) is one
+    :func:`register_pairs` dispatch of all seven lanes, so the whole search
+    is 3 batched forwards + a final ICP rather than 21 single-pair
+    dispatches. Returns the winner's final-ICP fitness / inlier RMSE (both
+    at the tight radius) in the ORIGINAL input frame.
     """
     from scream_tpu.geometry.icp import registration_icp
 
@@ -620,29 +622,42 @@ def register_pair_robust(
     c0 = src.mean(axis=0)
     tight = icp_thresh / 2.0
 
-    best: Optional[tuple] = None
-    for R0 in _rotation_starts():
+    starts = _rotation_starts()
+    Ts = []
+    for R0 in starts:
         T0 = np.eye(4, dtype=np.float32)
         T0[:3, :3] = R0
         T0[:3, 3] = c0 - R0 @ c0
-        src_r = ((src - c0) @ R0.T + c0).astype(np.float32)
-        coarse = register_pair(
-            apply_fn, params, src_r, tgt, normalize=normalize,
-            dis_thresh=dis_thresh, corr=corr, icp_thresh=3.0 * icp_thresh,
-            icp_max_iter=icp_max_iter, capacity=capacity, passes=1,
+        Ts.append(T0)
+
+    def batched_pass(Ts, thr):
+        cur = [(src @ T[:3, :3].T + T[:3, 3]).astype(np.float32) for T in Ts]
+        res = register_pairs(
+            apply_fn, params, [(c, tgt) for c in cur], normalize=normalize,
+            dis_thresh=dis_thresh, corr=corr, icp_thresh=thr,
+            icp_max_iter=icp_max_iter, capacity=capacity,
+            batch_size=len(starts),
         )
-        T = coarse.transform @ T0
-        src_c = (src @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
-        fine = register_pair(
-            apply_fn, params, src_c, tgt, normalize=normalize,
-            dis_thresh=dis_thresh, corr=corr, icp_thresh=icp_thresh,
-            icp_max_iter=icp_max_iter, capacity=capacity, passes=2,
-        )
-        T = fine.transform @ T
+        return [r.transform @ T for r, T in zip(res, Ts)], res
+
+    # Coarse pass (opened ICP radius), then two fine passes; the second fine
+    # pass is kept per-lane only if it does not lower the lane's ICP fitness
+    # (the same gate register_pair's passes loop applies).
+    Ts, _ = batched_pass(Ts, 3.0 * icp_thresh)
+    Ts, res1 = batched_pass(Ts, icp_thresh)
+    Ts2, res2 = batched_pass(Ts, icp_thresh)
+    lanes = []
+    for T1, r1, T2, r2 in zip(Ts, res1, Ts2, res2):
+        take2 = r2.fitness > r1.fitness or (
+            r2.fitness == r1.fitness and r2.inlier_rmse < r1.inlier_rmse)
+        lanes.append((T2, r2.n_corr) if take2 else (T1, r1.n_corr))
+
+    best: Optional[tuple] = None
+    for T, n_corr in lanes:
         src_f = src @ T[:3, :3].T + T[:3, 3]
         score = _tight_fitness(src_f, tgt, tight)
         if best is None or score > best[0]:
-            best = (score, T, fine.n_corr)
+            best = (score, T, n_corr)
 
     _, T, n_corr = best
     src_w = (src @ T[:3, :3].T + T[:3, 3]).astype(np.float32)

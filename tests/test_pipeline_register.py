@@ -178,25 +178,34 @@ def _basin_limited_oracle(src, tgt, R, t, basin_deg=70.0):
 
     gt_pos = src @ R.T + t  # fixed destination of every original src row
 
-    def oracle(params, s_n, t_n, sm, tm, c_hint):
+    def host_oracle(s_n, t_n):
         n, m = len(src), len(tgt)
-        t_valid = np.asarray(t_n[0][:m])
-        # tgt_n = s * (tgt - c): solve the two frame constants from spans.
-        s = float(np.linalg.norm(t_valid - t_valid.mean(0)) /
-                  np.linalg.norm(tgt - tgt.mean(0)))
-        c = tgt.mean(0) - np.asarray(t_valid.mean(0)) / s
-        src_cur = np.asarray(s_n[0][:n]) / s + c
-        T = np.asarray(kabsch(jnp.asarray(src_cur)[None],
-                              jnp.asarray(gt_pos)[None])[0])
-        angle = np.rad2deg(np.arccos(np.clip(
-            (np.trace(T[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)))
-        if angle < basin_deg:
-            pred = (s * (gt_pos - c)).astype(np.float32)
-        else:
-            pred = np.asarray(s_n[0][:n])  # out of basin: give up
-        out = np.zeros(s_n.shape[1:], np.float32)
-        out[:n] = pred
-        return jnp.asarray(out)[None]
+        out = np.zeros(s_n.shape, np.float32)
+        for b in range(s_n.shape[0]):  # robust path batches its 7 starts
+            t_valid = np.asarray(t_n[b][:m])
+            # tgt_n = s * (tgt - c): solve the frame constants from spans.
+            s = float(np.linalg.norm(t_valid - t_valid.mean(0)) /
+                      np.linalg.norm(tgt - tgt.mean(0)))
+            c = tgt.mean(0) - np.asarray(t_valid.mean(0)) / s
+            src_cur = np.asarray(s_n[b][:n]) / s + c
+            T = np.asarray(kabsch(jnp.asarray(src_cur)[None],
+                                  jnp.asarray(gt_pos)[None])[0])
+            angle = np.rad2deg(np.arccos(np.clip(
+                (np.trace(T[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)))
+            if angle < basin_deg:
+                out[b, :n] = (s * (gt_pos - c)).astype(np.float32)
+            else:
+                out[b, :n] = np.asarray(s_n[b][:n])  # out of basin: give up
+        return out
+
+    def oracle(params, s_n, t_n, sm, tm, c_hint):
+        # The serving path jits apply_fn; pure_callback lets this host-side
+        # numpy oracle run under trace (and eagerly in the unjitted path).
+        import jax
+
+        return jax.pure_callback(
+            host_oracle,
+            jax.ShapeDtypeStruct(s_n.shape, jnp.float32), s_n, t_n)
 
     return oracle
 
