@@ -551,13 +551,22 @@ def cmd_register(args):
 
     if manifest is not None:
         # Batched serving path: one compile per (capacity, batch) shape,
-        # reused across the whole stream; one JSON line per pair.
-        results = register_pairs(
-            apply_fn, params, manifest,
-            normalize=normalize, dis_thresh=args.dis_thresh,
-            icp_thresh=args.icp_thresh, icp_max_iter=args.icp_max_iter,
-            batch_size=args.batch_size,
-        )
+        # reused across the whole stream; one JSON line per pair. --robust
+        # runs the multi-start search per pair (its seven starts are
+        # batched internally).
+        if args.robust:
+            results = [register_pair_robust(
+                apply_fn, params, s, t,
+                normalize=normalize, dis_thresh=args.dis_thresh,
+                icp_thresh=args.icp_thresh, icp_max_iter=args.icp_max_iter,
+            ) for s, t in manifest]
+        else:
+            results = register_pairs(
+                apply_fn, params, manifest,
+                normalize=normalize, dis_thresh=args.dis_thresh,
+                icp_thresh=args.icp_thresh, icp_max_iter=args.icp_max_iter,
+                batch_size=args.batch_size,
+            )
         for i, res in enumerate(results):
             print(json.dumps({
                 "pair": i,
