@@ -44,6 +44,12 @@ ICP_ITERS = int(os.environ.get("BENCH_ICP_ITERS", 30))
 # The forced-CPU test backend cannot execute bf16 dots; the smoke test sets f32.
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 NORM_DTYPE = os.environ.get("BENCH_NORM_DTYPE", "float32")
+# --suite class point counts (batch stays 8). The forced-CPU smoke test
+# shrinks these; the driver runs the defaults.
+SUITE_KITTI_POINTS = int(os.environ.get("BENCH_SUITE_KITTI_POINTS", 8192))
+SUITE_DEM_POINTS = int(os.environ.get("BENCH_SUITE_DEM_POINTS", 4096))
+SUITE_SERVE_POINTS = int(os.environ.get("BENCH_SUITE_SERVE_POINTS", 512))
+SUITE_GAN_POINTS = int(os.environ.get("BENCH_SUITE_GAN_POINTS", 2048))
 TRACE_DIR = None  # set by --trace
 
 
@@ -218,7 +224,7 @@ def suite():
     cfg = ModelConfig(dtype=DTYPE, norm_dtype=NORM_DTYPE)
 
     # --- KITTI-sized registration (voxel 0.7 -> ~8k pts, thresholds 1.5/1.0) ---
-    B, NP = 8, 8192
+    B, NP = 8, SUITE_KITTI_POINTS
     ds = SyntheticPairDataset(length=B, n_src=NP - 512, n_tgt=NP - 256, seed=1,
                               normalize="unit_cube")
     b0 = {k: jnp.asarray(v) for k, v in next(iter(PairLoader(
@@ -256,7 +262,7 @@ def suite():
            "batch": B, "n_points": NP})
 
     # --- OpenGF DEM generation forward ---
-    Bd, Nd = 8, 4096
+    Bd, Nd = 8, SUITE_DEM_POINTS
     patches = [make_dem_patch(np.random.default_rng(i), n_dsm=Nd, n_dem=Nd)
                for i in range(Bd)]
 
@@ -288,8 +294,35 @@ def suite():
     emit("opengf_dem_patches_per_sec", Bd / _timed(dem_fwd, dem_input),
          "patches/sec")
 
+    # --- GT-free serving path (register_pairs: batched forward + vmapped
+    # always-accept ICP, no GT anywhere) — the `register --manifest` class ---
+    from scream_tpu.pipeline.register import _register_pairs_batch
+
+    Bg, Ng = 8, SUITE_SERVE_POINTS
+    gds = SyntheticPairDataset(length=Bg, n_src=Ng - 64, n_tgt=Ng - 32, seed=3)
+    gb = {k: jnp.asarray(v) for k, v in next(iter(PairLoader(
+        gds, batch_size=Bg, src_capacity=Ng, tgt_capacity=Ng))).items()}
+    gb = {k: gb[k] for k in ("src", "tgt", "src_mask", "tgt_mask", "scale",
+                             "center")}
+
+    def serve_run(b):
+        return _register_pairs_batch(apply_fn, params, b, 0.1, "tgt", 0.1,
+                                     ICP_ITERS)[0]
+
+    def serve_input(k):
+        b = dict(gb)
+        b["src"] = gb["src"] + jnp.asarray(
+            host.standard_normal(gb["src"].shape).astype(np.float32) * 1e-4)
+        np.asarray(b["src"])
+        return b
+
+    _emit({"metric": "gt_free_serving_pairs_per_sec",
+           "value": round(Bg / _timed(serve_run, serve_input), 2),
+           "unit": "pairs/sec", "batch": Bg, "n_points": Ng,
+           "note": "register_pairs batched GT-free path (register --manifest)"})
+
     # --- adversarial (GAN) training step ---
-    Bt, Nt = 8, 2048
+    Bt, Nt = 8, SUITE_GAN_POINTS
     tds = SyntheticPairDataset(length=Bt, n_src=Nt - 128, n_tgt=Nt - 64, seed=2)
     tb = {k: jnp.asarray(v) for k, v in next(iter(PairLoader(
         tds, batch_size=Bt, src_capacity=Nt, tgt_capacity=Nt))).items()}

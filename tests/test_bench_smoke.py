@@ -48,6 +48,26 @@ class TestBenchSmoke:
         assert "3dmatch_registration_pairs_per_sec_per_chip" in metrics
         assert "3dmatch_registration_pairs_per_sec_icp_subsampled" in metrics
 
+    def test_suite_rows_present(self, monkeypatch, capsys, tmp_path):
+        """--suite wiring: every workload class emits its row (the suite
+        classes have their own shape knobs; keep them above the hardcoded
+        pool margins — KITTI subtracts 512)."""
+        for k, v in {"BENCH_ITERS": "1", "BENCH_SUITE_KITTI_POINTS": "640",
+                     "BENCH_SUITE_DEM_POINTS": "256",
+                     "BENCH_SUITE_SERVE_POINTS": "256",
+                     "BENCH_SUITE_GAN_POINTS": "384",
+                     "BENCH_KITTI_ICP_ITERS": "1"}.items():
+            monkeypatch.setenv(k, v)
+        out_path = tmp_path / "bench.json"
+        _run_bench(monkeypatch, capsys,
+                   ["--suite", "--write", str(out_path)])
+        metrics = {r["metric"]
+                   for r in json.loads(out_path.read_text())["results"]}
+        assert {"kitti_registration_pairs_per_sec",
+                "opengf_dem_patches_per_sec",
+                "gt_free_serving_pairs_per_sec",
+                "adversarial_train_pairs_per_sec"} <= metrics
+
     def test_unknown_flag_rejected_before_measuring(self, monkeypatch, capsys):
         for k, v in SMOKE_ENV.items():
             monkeypatch.setenv(k, v)
