@@ -35,6 +35,18 @@ from scream_tpu.geometry.kabsch import kabsch
 from scream_tpu.geometry.metrics import registration_recall_rmse, transformation_error
 
 
+def _default_capacity(n: int) -> int:
+    """Round ``n`` up to the canonical padding-bucket ladder used by the
+    trainers (`scream_tpu/cli.py` ``_buckets_for``: 256, 512, ..., 16384),
+    falling back to 256-multiples above the ladder. GT-free inference that
+    pads to a training bucket hits the jit cache already warmed by training
+    / earlier calls instead of compiling a fresh 256-multiple shape."""
+    for b in (256, 512, 1024, 2048, 4096, 8192, 16384):
+        if n <= b:
+            return b
+    return (n + 255) // 256 * 256
+
+
 class PoseSolution(NamedTuple):
     transform: jnp.ndarray  # (B, 4, 4) in the de-normalized frame
     n_corr: jnp.ndarray  # (B,) number of valid correspondences
@@ -294,7 +306,7 @@ def _register_pair_once(
     else:
         raise ValueError(f"unknown normalize mode {normalize!r}")
 
-    cap = capacity or (max(len(src), len(tgt)) + 255) // 256 * 256
+    cap = capacity or _default_capacity(max(len(src), len(tgt)))
     src_p, src_mask = pad_cloud((s * (src - c)).astype(np.float32), cap)
     tgt_p, tgt_mask = pad_cloud((s * (tgt - c)).astype(np.float32), cap)
 
@@ -375,7 +387,8 @@ def register_pair(
       normalize: "unit_sphere" (3DMatch-style) or "unit_cube" (KITTI-style)
         — match the checkpoint's training convention.
       capacity: pad both clouds to this static size (one jit compile per
-        distinct capacity); defaults to both lengths rounded up to 256.
+        distinct capacity); defaults to both lengths rounded up to the
+        training bucket ladder (256, 512, ..., 16384, then 256-multiples).
       passes: iterative re-registration rounds. Pass 1 registers the raw
         clouds; each later pass re-runs the model on the source ALIGNED by
         the accumulated transform and composes the results. A large relative
@@ -481,7 +494,8 @@ def register_pairs(
     Args:
       pairs: iterable of ``(src, tgt)`` numpy ``(N, 3)`` cloud tuples.
       capacity: shared padded size; defaults to the max cloud length over
-        all pairs rounded up to 256 (one compile for the whole call).
+        all pairs rounded up to the training bucket ladder (256, 512, ...,
+        16384, then 256-multiples) — one compile for the whole call.
       batch_size: pairs per forward dispatch; the trailing partial batch
         pads with the last pair and discards the duplicates.
 
@@ -494,8 +508,8 @@ def register_pairs(
              for s, t in pairs]
     if not pairs:
         return []
-    cap = capacity or (
-        max(max(len(s), len(t)) for s, t in pairs) + 255) // 256 * 256
+    cap = capacity or _default_capacity(
+        max(max(len(s), len(t)) for s, t in pairs))
 
     norm = []
     for s, t in pairs:

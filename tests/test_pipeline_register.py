@@ -150,6 +150,20 @@ class TestRegisterPair:
             register_pair(lambda *a: None, None, np.zeros((4, 3)),
                           np.zeros((4, 3)), normalize="nope")
 
+    def test_default_capacity_lands_on_training_buckets(self):
+        """GT-free inference should pad to the trainers' bucket ladder
+        (cli._buckets_for) so it reuses warm jit caches, not to bare
+        256-multiples (700 -> 1024, not 768)."""
+        from scream_tpu.cli import _buckets_for
+        from scream_tpu.pipeline.register import _default_capacity
+
+        ladder = _buckets_for(16384)
+        for n in (1, 256, 257, 700, 1024, 5000, 16384):
+            assert _default_capacity(n) in ladder
+            assert _default_capacity(n) >= n
+        # Above the ladder: 256-multiples, never below n.
+        assert _default_capacity(16385) == 16640
+
     def test_bad_passes_raises(self):
         from scream_tpu.pipeline import register_pair
 
