@@ -261,6 +261,25 @@ def suite():
            "unit": "pairs/sec", "icp_max_iter": kitti_icp_iters,
            "batch": B, "n_points": NP})
 
+    # Same class through the straggler-mitigated path: chunked ICP with
+    # host-side compaction (register_batch_requeue). Identical protocol
+    # numbers; converged lanes stop riding to the slowest lane's 1000th
+    # iteration. Emitting both rows quantifies the mitigation on hardware.
+    kitti_chunk = int(os.environ.get("BENCH_KITTI_ICP_CHUNK", 100))
+    if kitti_chunk > 0:
+        from scream_tpu.pipeline.register import register_batch_requeue
+
+        def kitti_requeue_run(b):
+            return register_batch_requeue(
+                apply_fn, params, b, dis_thresh=1.5, corr="tgt",
+                icp_thresh=1.0, icp_max_iter=kitti_icp_iters,
+                icp_chunk=kitti_chunk).transform
+
+        _emit({"metric": "kitti_registration_pairs_per_sec_requeue",
+               "value": round(B / _timed(kitti_requeue_run, kitti_input), 2),
+               "unit": "pairs/sec", "icp_max_iter": kitti_icp_iters,
+               "icp_chunk": kitti_chunk, "batch": B, "n_points": NP})
+
     # --- OpenGF DEM generation forward ---
     Bd, Nd = 8, SUITE_DEM_POINTS
     patches = [make_dem_patch(np.random.default_rng(i), n_dsm=Nd, n_dem=Nd)

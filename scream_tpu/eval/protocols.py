@@ -29,7 +29,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from scream_tpu.config import EvalConfig
-from scream_tpu.pipeline.register import register_batch
+from scream_tpu.pipeline.register import register_batch, register_batch_requeue
 
 # Scene display names in scene-index order
 # (`/root/reference/evaluate_3d_match.py:61`).
@@ -275,6 +275,7 @@ def evaluate_kitti(
     success_te: float = 2.0,
     center_mode: str = "neg_rt",
     mesh=None,
+    icp_chunk: int | None = None,
 ) -> Dict[str, float]:
     """KITTI success-rate protocol (`/root/reference/evaluate_kitti.py:20-111`).
 
@@ -282,6 +283,12 @@ def evaluate_kitti(
     the reference's skipped items. Protocol deltas vs the 3DMatch family:
     ICP runs to ``max_iteration=1000`` (`:69`) and the model hint is
     ``-R^T t`` (`:39`).
+
+    ``icp_chunk``: when set, route each batch through
+    :func:`register_batch_requeue` — chunked ICP with host-side straggler
+    compaction (identical protocol numbers; converged pairs stop paying for
+    the slowest lane's 1000-iteration ride). This path synchronizes with
+    the host between chunks, so it skips the lag-1 dispatch overlap.
     """
     total = 0
     succ, succ_re, succ_te = 0, 0.0, 0.0
@@ -297,12 +304,21 @@ def evaluate_kitti(
         succ_te += float(te[ok].sum())
 
     params = _replicate_params(params, mesh)
-    dispatch = lambda batch: register_batch(
-        apply_fn, params, _to_device(batch, mesh=mesh),
-        dis_thresh=dis_thresh, corr="tgt",
-        icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
-        center_mode=center_mode, spmd=mesh is not None,
-    )
+    if icp_chunk is not None:
+        dispatch = lambda batch: register_batch_requeue(
+            apply_fn, params, _to_device(batch, mesh=mesh),
+            dis_thresh=dis_thresh, corr="tgt",
+            icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
+            icp_chunk=icp_chunk,
+            center_mode=center_mode, spmd=mesh is not None,
+        )
+    else:
+        dispatch = lambda batch: register_batch(
+            apply_fn, params, _to_device(batch, mesh=mesh),
+            dis_thresh=dis_thresh, corr="tgt",
+            icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
+            center_mode=center_mode, spmd=mesh is not None,
+        )
     for m, _ in _lag1(loader, dispatch):
         _consume(m)
     return {

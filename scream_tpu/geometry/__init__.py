@@ -11,7 +11,12 @@ from scream_tpu.geometry.pairwise import (
     nearest_neighbor,
     radius_count,
 )
-from scream_tpu.geometry.icp import ICPResult, icp_refine_if_better, registration_icp
+from scream_tpu.geometry.icp import (
+    ICPResult,
+    icp_refine_if_better,
+    registration_icp,
+    registration_icp_batched,
+)
 from scream_tpu.geometry.normals import estimate_normals, orient_normals_towards
 from scream_tpu.geometry.kabsch import kabsch, integrate_trans
 from scream_tpu.geometry.metrics import (
@@ -32,6 +37,7 @@ __all__ = [
     "ICPResult",
     "icp_refine_if_better",
     "registration_icp",
+    "registration_icp_batched",
     "estimate_normals",
     "orient_normals_towards",
     "kabsch",

@@ -7,6 +7,7 @@ from scream_tpu.pipeline.register import (
     denormalized_gt,
     in_forward_transform,
     register_batch,
+    register_batch_requeue,
     register_pair,
     register_pair_robust,
     register_pairs,
@@ -20,6 +21,7 @@ __all__ = [
     "denormalized_gt",
     "in_forward_transform",
     "register_batch",
+    "register_batch_requeue",
     "register_pair",
     "register_pair_robust",
     "register_pairs",

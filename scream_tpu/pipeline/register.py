@@ -227,24 +227,10 @@ def register_batch(
     auto-partition Mosaic (Pallas) custom calls, so the single-chip kernels
     only run when the batch lives on one device.
     """
-    src, tgt = batch["src"], batch["tgt"]
     src_mask, tgt_mask = batch["src_mask"], batch["tgt_mask"]
-    rot, trans = batch["rot"], batch["trans"]
-    scale, center = batch["scale"], batch["center"]
-
-    src_center = gt_center_hint(rot, trans, center_mode)
-    src_pred = apply_fn(params, src, tgt, src_mask, tgt_mask, src_center)
-    src_pred = src_pred.astype(jnp.float32)
-
-    sol = solve_pose(
-        src, src_pred, tgt, src_mask, tgt_mask, scale, center, dis_thresh, corr,
-        force_xla_nn=spmd,
+    sol, gt_T, src_dn, tgt_dn = _register_solve_stage(
+        apply_fn, params, batch, dis_thresh, corr, center_mode, spmd,
     )
-    gt_T = denormalized_gt(rot, trans, scale, center)
-
-    inv_s = (1.0 / scale)[:, None, None]
-    src_dn = src * inv_s + center[:, None, :]
-    tgt_dn = tgt * inv_s + center[:, None, :]
 
     if use_icp:
         icp_src, icp_src_mask = src_dn, src_mask
@@ -266,6 +252,99 @@ def register_batch(
         T = sol.transform
         re, te = jax.vmap(transformation_error)(T, gt_T)
 
+    rmse = None
+    if "covariance" in batch:
+        rmse = registration_recall_rmse(T, gt_T, batch["covariance"])
+    return RegistrationMetrics(T, re, te, sol.n_corr, rmse)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("apply_fn", "dis_thresh", "corr", "center_mode", "spmd"),
+)
+def _register_solve_stage(
+    apply_fn, params, batch, dis_thresh, corr, center_mode, spmd
+):
+    """The pre-ICP prefix of :func:`register_batch` (forward + pose solve +
+    de-normalization) as its own jit, for callers that run ICP OUTSIDE the
+    graph (:func:`register_batch_requeue`'s host-requeued chunks)."""
+    src, tgt = batch["src"], batch["tgt"]
+    src_mask, tgt_mask = batch["src_mask"], batch["tgt_mask"]
+    rot, trans = batch["rot"], batch["trans"]
+    scale, center = batch["scale"], batch["center"]
+
+    src_center = gt_center_hint(rot, trans, center_mode)
+    src_pred = apply_fn(params, src, tgt, src_mask, tgt_mask, src_center)
+    sol = solve_pose(
+        src, src_pred.astype(jnp.float32), tgt, src_mask, tgt_mask, scale,
+        center, dis_thresh, corr, force_xla_nn=spmd,
+    )
+    gt_T = denormalized_gt(rot, trans, scale, center)
+    inv_s = (1.0 / scale)[:, None, None]
+    src_dn = src * inv_s + center[:, None, :]
+    tgt_dn = tgt * inv_s + center[:, None, :]
+    return sol, gt_T, src_dn, tgt_dn
+
+
+@jax.jit
+def _accept_if_better(init_T, refined_T, gt_T):
+    """Batched keep-iff-both-improve acceptance
+    (`/root/reference/evaluate_kitti.py:74-77`,
+    `evaluate_3d_match.py:116-119`)."""
+    re0, te0 = jax.vmap(transformation_error)(init_T, gt_T)
+    re1, te1 = jax.vmap(transformation_error)(refined_T, gt_T)
+    better = (re1 <= re0) & (te1 <= te0)
+    T = jnp.where(better[:, None, None], refined_T, init_T)
+    return T, jnp.where(better, re1, re0), jnp.where(better, te1, te0)
+
+
+def register_batch_requeue(
+    apply_fn: Callable,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    dis_thresh: float = 0.1,
+    corr: str = "tgt",
+    icp_thresh: float = 0.1,
+    icp_max_iter: int = 30,
+    icp_chunk: int = 50,
+    icp_subsample: Optional[int] = None,
+    center_mode: str = "trans",
+    spmd: bool = False,
+) -> RegistrationMetrics:
+    """:func:`register_batch` semantics with host-requeued chunked ICP.
+
+    The fused :func:`register_batch` runs the vmapped ICP while_loop to the
+    SLOWEST lane — at the KITTI protocol budget of 1000 iterations
+    (`/root/reference/evaluate_kitti.py:69`) one unconverged straggler drags
+    the whole batch. Here the forward+solve stage stays one jit, then
+    `geometry.icp.registration_icp_batched(chunk=icp_chunk)` advances lanes
+    in chunks, retiring converged pairs and compacting the stragglers into
+    ever-smaller power-of-two batches. The carried convergence state keeps
+    the iterate sequence identical to the fused path (same transforms, same
+    Open3D criteria), so the keep-iff-both-improve acceptance and every
+    downstream protocol number are unchanged.
+
+    The chunk boundaries synchronize with the host, so this path trades the
+    eval protocols' lag-1 dispatch overlap for straggler elimination — the
+    right trade exactly when ICP dominates (the 1000-iteration KITTI class).
+    """
+    from scream_tpu.geometry.icp import registration_icp_batched
+
+    sol, gt_T, src_dn, tgt_dn = _register_solve_stage(
+        apply_fn, params, batch, dis_thresh, corr, center_mode, spmd,
+    )
+    src_mask, tgt_mask = batch["src_mask"], batch["tgt_mask"]
+    icp_src, icp_src_mask = src_dn, src_mask
+    if icp_subsample is not None and icp_subsample < src_dn.shape[1]:
+        idx = spread_subsample_indices(src_dn.shape[1], icp_subsample)
+        icp_src = src_dn[:, idx]
+        icp_src_mask = src_mask[:, idx]
+    res = registration_icp_batched(
+        icp_src, tgt_dn, icp_thresh, init=sol.transform,
+        max_iteration=icp_max_iter, src_mask=icp_src_mask, tgt_mask=tgt_mask,
+        force_xla=spmd, chunk=icp_chunk,
+    )
+    T, re, te = _accept_if_better(sol.transform, res.transformation, gt_T)
     rmse = None
     if "covariance" in batch:
         rmse = registration_recall_rmse(T, gt_T, batch["covariance"])

@@ -56,7 +56,8 @@ class TestBenchSmoke:
                      "BENCH_SUITE_DEM_POINTS": "256",
                      "BENCH_SUITE_SERVE_POINTS": "256",
                      "BENCH_SUITE_GAN_POINTS": "384",
-                     "BENCH_KITTI_ICP_ITERS": "1"}.items():
+                     "BENCH_KITTI_ICP_ITERS": "4",
+                     "BENCH_KITTI_ICP_CHUNK": "2"}.items():
             monkeypatch.setenv(k, v)
         out_path = tmp_path / "bench.json"
         _run_bench(monkeypatch, capsys,
@@ -64,6 +65,7 @@ class TestBenchSmoke:
         metrics = {r["metric"]
                    for r in json.loads(out_path.read_text())["results"]}
         assert {"kitti_registration_pairs_per_sec",
+                "kitti_registration_pairs_per_sec_requeue",
                 "opengf_dem_patches_per_sec",
                 "gt_free_serving_pairs_per_sec",
                 "adversarial_train_pairs_per_sec"} <= metrics
