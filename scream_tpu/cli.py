@@ -370,6 +370,7 @@ def cmd_evaluate(args):
                 success_te=eval_cfg.success_te,
                 center_mode=eval_cfg.center_mode,
                 mesh=mesh,
+                icp_chunk=args.icp_chunk,
             )
         else:
             out = protocols.evaluate_registration(apply_fn, params, loader,
@@ -811,6 +812,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ICP max correspondence distance")
     e.add_argument("--icp-max-iter", type=int, default=None,
                    help="ICP iteration cap (30 for 3DMatch, 1000 for KITTI)")
+    e.add_argument("--icp-chunk", type=int, default=None,
+                   help="kitti only: chunked ICP with host-side straggler "
+                        "re-queue (identical protocol numbers; converged "
+                        "pairs stop riding to the slowest lane)")
     e.add_argument("--re-stat", choices=["median", "mean"], default=None,
                    help="per-scene RE/TE statistic")
     e.add_argument("--center-mode", choices=["trans", "neg_rt", "none"],

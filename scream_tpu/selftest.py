@@ -93,6 +93,31 @@ def run_selftest() -> Dict:
         jnp.max(jnp.abs(res.transformation - res_xla.transformation))
     )
 
+    # --- chunked/requeued ICP vs the continuous vmapped loop, on-chip ---
+    # The straggler mitigation (registration_icp_batched(chunk=K), the
+    # KITTI-1000 eval path) must reproduce the continuous trajectory through
+    # the SAME bounded Pallas NN kernel it rides in production. Two lanes
+    # with different noise -> different convergence counts -> the compaction
+    # path (retire + power-of-two regroup) actually executes.
+    from scream_tpu.geometry.icp import registration_icp_batched
+
+    sb2 = jnp.stack([sb[:1024], sb[:1024]])
+    db2 = jnp.stack([
+        db[:1024],
+        db[:1024] + jnp.asarray(rng.standard_normal((1024, 3)) * 0.01,
+                                jnp.float32),
+    ])
+    T02 = jnp.stack([T0, T0])
+    cont = registration_icp_batched(sb2, db2, 0.1, init=T02, max_iteration=12)
+    chnk = registration_icp_batched(sb2, db2, 0.1, init=T02, max_iteration=12,
+                                    chunk=4)
+    out["chunked_icp_transform_max_err"] = float(
+        jnp.max(jnp.abs(cont.transformation - chnk.transformation))
+    )
+    out["chunked_icp_iter_mismatches"] = int(
+        jnp.sum(cont.iterations != chnk.iterations)
+    )
+
     # --- splat kernel (compiled, batched) vs the XLA tiled path ---
     sp = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 500, 3)), jnp.float32)
     tp = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 600, 3)), jnp.float32)
@@ -127,6 +152,8 @@ def run_selftest() -> Dict:
         and out["bounded_nn_bound_ok"]
         and out["bounded_icp_finite"]
         and out["bounded_icp_transform_max_err"] < 1e-3
+        and out["chunked_icp_transform_max_err"] < 1e-4
+        and out["chunked_icp_iter_mismatches"] == 0
         and out["splat_max_err"] < 1e-4
         and out["splat_grad_rel_err"] < 1e-3
     )

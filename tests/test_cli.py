@@ -265,6 +265,16 @@ class TestVisualize:
         assert captured["skip"] == (124, 142)
         assert out["n_pairs"] == 3  # 124/142 out of range of the tiny fixture
 
+        # --icp-chunk routes through register_batch_requeue: identical
+        # protocol numbers (the straggler mitigation is a scheduling change,
+        # not a semantics change).
+        main(["evaluate", "kitti", "--root", str(tmp_path), "--batch-size", "2",
+              "--max-points", "64", "--icp-chunk", "2"])
+        out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out2["n_pairs"] == out["n_pairs"]
+        assert out2["success_rate"] == pytest.approx(out["success_rate"])
+        assert out2["success_rre"] == pytest.approx(out["success_rre"], abs=1e-4)
+
 
 class TestRegisterCLI:
     def test_register_two_npy_clouds(self, capsys, tmp_path):
