@@ -152,10 +152,19 @@ def main():
     if TRACE_DIR is not None:
         from scream_tpu.utils.profiling import annotate, trace
 
+        # FRESH inputs for the traced calls: batches[:] were all already
+        # dispatched above, and the relay serves repeated identical
+        # dispatches from its cache — a traced cache hit records RPC time,
+        # not kernels.
+        trace_rng = np.random.default_rng(99)
         with trace(TRACE_DIR):
             for b in batches[:2]:
+                tb = dict(b)
+                tb["src"] = b["src"] + jnp.asarray(
+                    trace_rng.standard_normal(b["src"].shape)
+                    .astype(np.float32) * 1e-4)
                 with annotate("register_batch"):
-                    np.asarray(dispatch(b).transform)
+                    np.asarray(dispatch(tb).transform)
         print(f"# trace written to {TRACE_DIR}", file=sys.stderr)
 
     # Secondary: throughput mode (exact NN over a strided 1024-point ICP
@@ -267,7 +276,20 @@ def suite():
     # iteration. Emitting both rows quantifies the mitigation on hardware.
     kitti_chunk = int(os.environ.get("BENCH_KITTI_ICP_CHUNK", 100))
     if kitti_chunk > 0:
+        from scream_tpu.geometry.icp import registration_icp_batched
         from scream_tpu.pipeline.register import register_batch_requeue
+
+        # Pre-compile EVERY pow2 compaction bucket: lane retirement is
+        # data-dependent, so without this a timed input whose lanes retire
+        # in an unseen grouping triggers a fresh _icp_chunk/_icp_finalize
+        # compile inside the timed loop (seconds vs ms on the tunnel).
+        n = B
+        while n >= 1:
+            registration_icp_batched(
+                b0["src"][:n], b0["tgt"][:n], 1.0, max_iteration=1,
+                src_mask=b0["src_mask"][:n] > 0,
+                tgt_mask=b0["tgt_mask"][:n] > 0, chunk=1)
+            n //= 2
 
         def kitti_requeue_run(b):
             return register_batch_requeue(

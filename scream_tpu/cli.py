@@ -299,6 +299,15 @@ def cmd_evaluate(args):
             over[field] = v
     if over:
         eval_cfg = dataclasses.replace(eval_cfg, **over)
+    if args.icp_chunk is not None:
+        # Fail before the multi-minute model/dataset load, not inside eval.
+        if args.protocol != "kitti":
+            raise SystemExit(
+                "--icp-chunk applies to the kitti protocol only (the other "
+                "protocols run ICP at the Open3D default budget of 30, "
+                "where chunking measured slower — docs/DESIGN.md)")
+        if args.icp_chunk < 1:
+            raise SystemExit(f"--icp-chunk must be >= 1, got {args.icp_chunk}")
     model_cfg = _apply_model_overrides(model_cfg, args)
     mesh = _parse_mesh(args)
     if args.max_points:
@@ -566,7 +575,7 @@ def cmd_register(args):
                 apply_fn, params, manifest,
                 normalize=normalize, dis_thresh=args.dis_thresh,
                 icp_thresh=args.icp_thresh, icp_max_iter=args.icp_max_iter,
-                batch_size=args.batch_size,
+                batch_size=args.batch_size, passes=args.passes,
             )
         for i, res in enumerate(results):
             print(json.dumps({
@@ -576,6 +585,9 @@ def cmd_register(args):
                 "inlier_rmse": res.inlier_rmse,
                 "n_corr": res.n_corr,
             }))
+        if args.out:
+            # Stacked (P, 4, 4) transforms, manifest order.
+            np.save(args.out, np.stack([r.transform for r in results]))
         return
     if args.robust:
         res = register_pair_robust(

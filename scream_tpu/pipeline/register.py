@@ -358,6 +358,30 @@ class PairRegistration(NamedTuple):
     n_corr: int  # correspondences behind the initial Kabsch solve
 
 
+def _normalize_union(src: np.ndarray, tgt: np.ndarray, normalize: str):
+    """GT-free union normalization in the trained convention: ``(c, s)``
+    with points mapping as ``s * (x - c)``.
+
+    unit_sphere mirrors the 3DMatch loader
+    (`/root/reference/datasets/three_d_match.py:183-190`, centroid + max
+    radius), unit_cube the KITTI one (bbox center + 2/max-extent). The
+    1e-12 clamps guard degenerate (single-point / coplanar) clouds. One
+    copy: :func:`register_pair` and :func:`register_pairs` must normalize
+    identically or their results diverge for the same inputs.
+    """
+    union = np.concatenate([src, tgt], axis=0)
+    if normalize == "unit_sphere":
+        c = union.mean(axis=0)
+        s = 1.0 / max(float(np.max(np.linalg.norm(union - c, axis=1))), 1e-12)
+    elif normalize == "unit_cube":
+        lo, hi = union.min(axis=0), union.max(axis=0)
+        c = (lo + hi) / 2.0
+        s = 2.0 / max(float(np.max(hi - lo)), 1e-12)
+    else:
+        raise ValueError(f"unknown normalize mode {normalize!r}")
+    return c.astype(np.float32), np.float32(s)
+
+
 def _register_pair_once(
     apply_fn: Callable,
     params,
@@ -374,16 +398,7 @@ def _register_pair_once(
     from scream_tpu.data.batching import pad_cloud
     from scream_tpu.geometry.icp import registration_icp
 
-    union = np.concatenate([src, tgt], axis=0)
-    if normalize == "unit_sphere":
-        c = union.mean(axis=0)
-        s = 1.0 / max(float(np.max(np.linalg.norm(union - c, axis=1))), 1e-12)
-    elif normalize == "unit_cube":
-        lo, hi = union.min(axis=0), union.max(axis=0)
-        c = (lo + hi) / 2.0
-        s = 2.0 / max(float(np.max(hi - lo)), 1e-12)
-    else:
-        raise ValueError(f"unknown normalize mode {normalize!r}")
+    c, s = _normalize_union(src, tgt, normalize)
 
     cap = capacity or _default_capacity(max(len(src), len(tgt)))
     src_p, src_mask = pad_cloud((s * (src - c)).astype(np.float32), cap)
@@ -559,6 +574,7 @@ def register_pairs(
     icp_max_iter: int = 30,
     capacity: Optional[int] = None,
     batch_size: int = 8,
+    passes: int = 1,
 ) -> list:
     """GT-free registration of MANY raw cloud pairs — the serving path.
 
@@ -566,9 +582,12 @@ def register_pairs(
     this batches ``batch_size`` pairs per forward (the model and ICP are
     batched/vmapped — one compile per (capacity, batch) shape, reused across
     calls), which is how a deployment registers a stream of scan pairs at
-    throughput. Semantics per pair match ``register_pair(..., passes=1)``:
-    per-pair union normalization as given, masked-centroid center fallback,
-    always-accepted ICP from the Kabsch initialization.
+    throughput. Semantics per pair match ``register_pair`` at the same
+    ``passes``: per-pair union normalization as given, masked-centroid
+    center fallback, always-accepted ICP from the Kabsch initialization,
+    and (``passes > 1``) iterative re-registration with the same per-pair
+    keep-iff-fitness-does-not-drop gate — a rejected pass freezes that pair
+    while the rest of the batch keeps iterating.
 
     Args:
       pairs: iterable of ``(src, tgt)`` numpy ``(N, 3)`` cloud tuples.
@@ -577,12 +596,15 @@ def register_pairs(
         16384, then 256-multiples) — one compile for the whole call.
       batch_size: pairs per forward dispatch; the trailing partial batch
         pads with the last pair and discards the duplicates.
+      passes: iterative re-registration rounds (see :func:`register_pair`).
 
     Returns a list of :class:`PairRegistration` (transforms in each pair's
     ORIGINAL input frame), in input order.
     """
     from scream_tpu.data.batching import pad_cloud
 
+    if passes < 1:
+        raise ValueError(f"passes must be >= 1, got {passes}")
     pairs = [(np.asarray(s, np.float32), np.asarray(t, np.float32))
              for s, t in pairs]
     if not pairs:
@@ -590,47 +612,71 @@ def register_pairs(
     cap = capacity or _default_capacity(
         max(max(len(s), len(t)) for s, t in pairs))
 
-    norm = []
-    for s, t in pairs:
-        union = np.concatenate([s, t], axis=0)
-        if normalize == "unit_sphere":
-            c = union.mean(axis=0)
-            sc = 1.0 / max(float(np.max(np.linalg.norm(union - c, axis=1))),
-                           1e-12)
-        elif normalize == "unit_cube":
-            lo, hi = union.min(axis=0), union.max(axis=0)
-            c = (lo + hi) / 2.0
-            sc = 2.0 / max(float(np.max(hi - lo)), 1e-12)
-        else:
-            raise ValueError(f"unknown normalize mode {normalize!r}")
-        sp, sm = pad_cloud((sc * (s - c)).astype(np.float32), cap)
-        tp, tm = pad_cloud((sc * (t - c)).astype(np.float32), cap)
-        norm.append((sp, sm, tp, tm, np.float32(sc), c.astype(np.float32)))
+    def one_pass(srcs):
+        """One batched GT-free pass of every (current) src onto its tgt."""
+        norm = []
+        for s, (_, t) in zip(srcs, pairs):
+            c, sc = _normalize_union(s, t, normalize)
+            sp, sm = pad_cloud((sc * (s - c)).astype(np.float32), cap)
+            tp, tm = pad_cloud((sc * (t - c)).astype(np.float32), cap)
+            norm.append((sp, sm, tp, tm, sc, c))
 
-    out = []
-    for lo in range(0, len(norm), batch_size):
-        chunk = norm[lo:lo + batch_size]
-        n_real = len(chunk)
-        while len(chunk) < batch_size:  # pad the trailing batch
-            chunk.append(chunk[-1])
-        b = {
-            "src": jnp.asarray(np.stack([c[0] for c in chunk])),
-            "src_mask": jnp.asarray(np.stack([c[1] for c in chunk])),
-            "tgt": jnp.asarray(np.stack([c[2] for c in chunk])),
-            "tgt_mask": jnp.asarray(np.stack([c[3] for c in chunk])),
-            "scale": jnp.asarray(np.stack([c[4] for c in chunk])),
-            "center": jnp.asarray(np.stack([c[5] for c in chunk])),
-        }
-        T, fit, rmse, n_corr = _register_pairs_batch(
-            apply_fn, params, b, dis_thresh, corr, icp_thresh, icp_max_iter)
-        T, fit = np.asarray(T), np.asarray(fit)
-        rmse, n_corr = np.asarray(rmse), np.asarray(n_corr)
-        for k in range(n_real):
-            out.append(PairRegistration(
-                transform=T[k], fitness=float(fit[k]),
-                inlier_rmse=float(rmse[k]), n_corr=int(n_corr[k]),
-            ))
-    return out
+        out = []
+        for lo in range(0, len(norm), batch_size):
+            chunk = norm[lo:lo + batch_size]
+            n_real = len(chunk)
+            while len(chunk) < batch_size:  # pad the trailing batch
+                chunk.append(chunk[-1])
+            b = {
+                "src": jnp.asarray(np.stack([c[0] for c in chunk])),
+                "src_mask": jnp.asarray(np.stack([c[1] for c in chunk])),
+                "tgt": jnp.asarray(np.stack([c[2] for c in chunk])),
+                "tgt_mask": jnp.asarray(np.stack([c[3] for c in chunk])),
+                "scale": jnp.asarray(np.stack([c[4] for c in chunk])),
+                "center": jnp.asarray(np.stack([c[5] for c in chunk])),
+            }
+            T, fit, rmse, n_corr = _register_pairs_batch(
+                apply_fn, params, b, dis_thresh, corr, icp_thresh,
+                icp_max_iter)
+            T, fit = np.asarray(T), np.asarray(fit)
+            rmse, n_corr = np.asarray(rmse), np.asarray(n_corr)
+            for k in range(n_real):
+                out.append(PairRegistration(
+                    transform=T[k], fitness=float(fit[k]),
+                    inlier_rmse=float(rmse[k]), n_corr=int(n_corr[k]),
+                ))
+        return out
+
+    best = one_pass([s for s, _ in pairs])
+    frozen = [False] * len(pairs)
+    for _ in range(passes - 1):
+        if all(frozen):
+            break
+        cur = [
+            (pairs[i][0] @ best[i].transform[:3, :3].T
+             + best[i].transform[:3, 3]).astype(np.float32)
+            for i in range(len(pairs))
+        ]
+        res = one_pass(cur)
+        for i, r in enumerate(res):
+            if frozen[i]:
+                continue
+            composed = PairRegistration(
+                transform=r.transform @ best[i].transform,
+                fitness=r.fitness, inlier_rmse=r.inlier_rmse,
+                n_corr=r.n_corr,
+            )
+            # register_pair's acceptance gate, per pair: keep iff fitness
+            # does not drop (RMSE breaks ties); a rejected pass freezes the
+            # pair (register_pair breaks its loop there).
+            if composed.fitness > best[i].fitness or (
+                composed.fitness == best[i].fitness
+                and composed.inlier_rmse < best[i].inlier_rmse
+            ):
+                best[i] = composed
+            else:
+                frozen[i] = True
+    return best
 
 
 def _rotation_starts() -> list:
@@ -754,9 +800,18 @@ def register_pair_robust(
 
     _, T, n_corr = best
     src_w = (src @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+    # Pad to the training bucket ladder: raw (N, M) shapes would compile a
+    # fresh ICP executable per distinct cloud-size pair in a manifest
+    # stream, while every other stage reuses one compile per bucket.
+    from scream_tpu.data.batching import pad_cloud
+
+    cap = capacity or _default_capacity(max(len(src_w), len(tgt)))
+    src_p, src_m = pad_cloud(src_w, cap)
+    tgt_p, tgt_m = pad_cloud(tgt, cap)
     fin = registration_icp(
-        jnp.asarray(src_w), jnp.asarray(tgt), tight,
+        jnp.asarray(src_p), jnp.asarray(tgt_p), tight,
         init=jnp.eye(4, dtype=jnp.float32), max_iteration=final_icp_max_iter,
+        src_mask=jnp.asarray(src_m), tgt_mask=jnp.asarray(tgt_m),
     )
     return PairRegistration(
         transform=np.asarray(fin.transformation) @ T,

@@ -319,7 +319,7 @@ class TestRegisterCLI:
         (tmp_path / "pairs.txt").write_text("\n".join(lines) + "\n")
 
         main(["register", "--manifest", str(tmp_path / "pairs.txt"),
-              "--batch-size", "2",
+              "--batch-size", "2", "--out", str(tmp_path / "T.npy"),
               "--d-model", "32", "--self-layers", "1", "--cross-layers", "1",
               "--dtype", "float32"])
         rows = [json.loads(l) for l in
@@ -329,6 +329,11 @@ class TestRegisterCLI:
             T = np.asarray(r["transform"])
             assert T.shape == (4, 4) and np.isfinite(T).all()
             assert 0.0 <= r["fitness"] <= 1.0
+        # --out in manifest mode: stacked transforms, manifest order.
+        saved = np.load(tmp_path / "T.npy")
+        assert saved.shape == (3, 4, 4)
+        np.testing.assert_allclose(
+            saved, np.stack([np.asarray(r["transform"]) for r in rows]))
 
     def test_register_manifest_conflicts_and_validation(self, tmp_path):
         import numpy as np
@@ -343,6 +348,14 @@ class TestRegisterCLI:
             main(["register", "--manifest", str(tmp_path / "m.txt")])
         with pytest.raises(SystemExit, match="need --src and --tgt"):
             main(["register"])
+
+    def test_evaluate_icp_chunk_validation_fails_fast(self):
+        """--icp-chunk must be rejected before the model/dataset load: it
+        only routes the kitti protocol, and 0/negative chunks are invalid."""
+        with pytest.raises(SystemExit, match="kitti protocol only"):
+            main(["evaluate", "3dmatch", "--icp-chunk", "100"])
+        with pytest.raises(SystemExit, match="icp-chunk must be >= 1"):
+            main(["evaluate", "kitti", "--icp-chunk", "0"])
 
     def test_register_reads_model_config_sidecar(self, tmp_path, monkeypatch,
                                                  capsys):

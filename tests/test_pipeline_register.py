@@ -274,6 +274,58 @@ class TestRegisterPairs:
             assert got.n_corr == want.n_corr
             assert got.fitness == pytest.approx(want.fitness, abs=1e-5)
 
+    def test_multi_pass_compose_freeze_early_exit(self, monkeypatch):
+        """The passes>1 loop semantics (register_pair's, per pair): accepted
+        passes COMPOSE, a rejected pass FREEZES that pair permanently (even
+        if a later pass would beat it), and the loop stops dispatching once
+        every pair is frozen. Scripted deterministic engine — the real
+        batched/single paths compile different graphs, so near-boundary
+        acceptance makes an end-to-end parity assertion flaky by design."""
+        import scream_tpu.pipeline.register as reg
+
+        def T_of(v):
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = v
+            return T
+
+        # fitness script: pair0 accepts p2+p3 then rejects p4; pair1 accepts
+        # p2, rejects p3; pair2 rejects p2 (and would win at p3 — must stay
+        # frozen anyway).
+        fit = [[0.5, 0.5, 0.5], [0.7, 0.6, 0.4], [0.8, 0.55, 0.9],
+               [0.1, 0.9, 0.9]]
+        vec = [np.float32([1, 0, 0]), np.float32([0, 1, 0]),
+               np.float32([0, 0, 1]), np.float32([5, 5, 5])]
+        calls = []
+
+        def fake_batch(apply_fn, params, b, *a):
+            p = len(calls)
+            calls.append(p)
+            B = b["src"].shape[0]
+            T = np.stack([T_of(vec[p])] * B)
+            return (T, np.asarray(fit[p], np.float32),
+                    np.ones(B, np.float32), np.ones(B, np.int32))
+
+        monkeypatch.setattr(reg, "_register_pairs_batch", fake_batch)
+        pairs = [(np.eye(3, dtype=np.float32) * k, np.ones((3, 3), np.float32))
+                 for k in range(1, 4)]
+        out = reg.register_pairs(None, None, pairs, batch_size=3, passes=10)
+
+        assert len(calls) == 4  # early exit: pass 5+ never dispatched
+        np.testing.assert_allclose(out[0].transform,
+                                   T_of(vec[0] + vec[1] + vec[2]))
+        assert out[0].fitness == pytest.approx(0.8)
+        np.testing.assert_allclose(out[1].transform, T_of(vec[0] + vec[1]))
+        assert out[1].fitness == pytest.approx(0.6)
+        np.testing.assert_allclose(out[2].transform, T_of(vec[0]))
+        assert out[2].fitness == pytest.approx(0.5)
+
+    def test_bad_passes_raises(self):
+        from scream_tpu.pipeline import register_pairs
+
+        with pytest.raises(ValueError, match="passes"):
+            register_pairs(lambda *a: None, None,
+                           [(np.zeros((4, 3)), np.zeros((4, 3)))], passes=0)
+
     def test_empty_and_trailing_batch(self):
         from scream_tpu.pipeline import register_pairs
 
