@@ -534,20 +534,24 @@ def register_pair(
 
 
 @partial(jax.jit, static_argnames=("apply_fn", "dis_thresh", "corr",
-                                   "icp_thresh", "icp_max_iter"))
+                                   "icp_thresh", "icp_max_iter", "spmd"))
 def _register_pairs_batch(
-    apply_fn, params, b, dis_thresh, corr, icp_thresh, icp_max_iter
+    apply_fn, params, b, dis_thresh, corr, icp_thresh, icp_max_iter,
+    spmd=False,
 ):
     """Jitted core of :func:`register_pairs`: batched GT-free forward +
     solve + always-accept vmapped ICP. ``b`` uses the loader key schema
-    minus GT (src/tgt/masks/scale/center)."""
+    minus GT (src/tgt/masks/scale/center). ``spmd`` routes the NN searches
+    through the pure-XLA formulations (GSPMD cannot auto-partition Mosaic
+    custom calls) — set when ``b`` is mesh-sharded, as
+    :func:`register_batch` does."""
     from scream_tpu.geometry.icp import registration_icp
 
     src_pred = apply_fn(params, b["src"], b["tgt"], b["src_mask"],
                         b["tgt_mask"], None).astype(jnp.float32)
     sol = solve_pose(b["src"], src_pred, b["tgt"], b["src_mask"],
                      b["tgt_mask"], b["scale"], b["center"],
-                     dis_thresh=dis_thresh, corr=corr)
+                     dis_thresh=dis_thresh, corr=corr, force_xla_nn=spmd)
     inv_s = (1.0 / b["scale"])[:, None, None]
     src_dn = b["src"] * inv_s + b["center"][:, None, :]
     tgt_dn = b["tgt"] * inv_s + b["center"][:, None, :]
@@ -555,7 +559,7 @@ def _register_pairs_batch(
     def one(s, t, sm, tm, T0):
         r = registration_icp(s, t, icp_thresh, init=T0,
                              max_iteration=icp_max_iter,
-                             src_mask=sm, tgt_mask=tm)
+                             src_mask=sm, tgt_mask=tm, force_xla=spmd)
         return r.transformation, r.fitness, r.inlier_rmse
 
     T, fit, rmse = jax.vmap(one)(src_dn, tgt_dn, b["src_mask"],
@@ -575,6 +579,7 @@ def register_pairs(
     capacity: Optional[int] = None,
     batch_size: int = 8,
     passes: int = 1,
+    mesh=None,
 ) -> list:
     """GT-free registration of MANY raw cloud pairs — the serving path.
 
@@ -597,6 +602,11 @@ def register_pairs(
       batch_size: pairs per forward dispatch; the trailing partial batch
         pads with the last pair and discards the duplicates.
       passes: iterative re-registration rounds (see :func:`register_pair`).
+      mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis — serving
+        scale-out: each dispatch's lanes shard over the axis (params
+        replicated, NN searches on the partitionable XLA formulations) and
+        XLA runs the pairs chip-parallel. ``batch_size`` must divide by the
+        axis size; per-pair results are unchanged.
 
     Returns a list of :class:`PairRegistration` (transforms in each pair's
     ORIGINAL input frame), in input order.
@@ -605,6 +615,14 @@ def register_pairs(
 
     if passes < 1:
         raise ValueError(f"passes must be >= 1, got {passes}")
+    if mesh is not None:
+        from scream_tpu.parallel.mesh import replicated
+
+        if batch_size % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must divide by the data axis "
+                f"({mesh.shape['data']}) to shard the serving batch")
+        params = jax.device_put(params, replicated(mesh))
     pairs = [(np.asarray(s, np.float32), np.asarray(t, np.float32))
              for s, t in pairs]
     if not pairs:
@@ -628,16 +646,22 @@ def register_pairs(
             while len(chunk) < batch_size:  # pad the trailing batch
                 chunk.append(chunk[-1])
             b = {
-                "src": jnp.asarray(np.stack([c[0] for c in chunk])),
-                "src_mask": jnp.asarray(np.stack([c[1] for c in chunk])),
-                "tgt": jnp.asarray(np.stack([c[2] for c in chunk])),
-                "tgt_mask": jnp.asarray(np.stack([c[3] for c in chunk])),
-                "scale": jnp.asarray(np.stack([c[4] for c in chunk])),
-                "center": jnp.asarray(np.stack([c[5] for c in chunk])),
+                "src": np.stack([c[0] for c in chunk]),
+                "src_mask": np.stack([c[1] for c in chunk]),
+                "tgt": np.stack([c[2] for c in chunk]),
+                "tgt_mask": np.stack([c[3] for c in chunk]),
+                "scale": np.stack([c[4] for c in chunk]),
+                "center": np.stack([c[5] for c in chunk]),
             }
+            if mesh is not None:
+                from scream_tpu.parallel.mesh import to_device_maybe_sharded
+
+                b = to_device_maybe_sharded(b, mesh)
+            else:
+                b = {k: jnp.asarray(v) for k, v in b.items()}
             T, fit, rmse, n_corr = _register_pairs_batch(
                 apply_fn, params, b, dis_thresh, corr, icp_thresh,
-                icp_max_iter)
+                icp_max_iter, spmd=mesh is not None)
             T, fit = np.asarray(T), np.asarray(fit)
             rmse, n_corr = np.asarray(rmse), np.asarray(n_corr)
             for k in range(n_real):

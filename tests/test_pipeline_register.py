@@ -274,6 +274,48 @@ class TestRegisterPairs:
             assert got.n_corr == want.n_corr
             assert got.fitness == pytest.approx(want.fitness, abs=1e-5)
 
+    def test_mesh_sharded_serving_matches_single_device(self):
+        """register_pairs(mesh=...): lanes shard over the data axis (the
+        serving scale-out), per-pair results unchanged vs single-device."""
+        import jax
+        import jax.numpy as jnp
+
+        from scream_tpu.config import ModelConfig
+        from scream_tpu.models.point_transformer import PointTransformer
+        from scream_tpu.parallel.mesh import make_mesh
+        from scream_tpu.pipeline import register_pairs
+
+        rng = np.random.default_rng(7)
+        pairs = self._pairs(rng, n_pairs=4)
+        model = PointTransformer(ModelConfig(d_model=32, num_heads=4,
+                                             self_layers=1, cross_layers=1,
+                                             dtype="float32"))
+        z = jnp.zeros((1, 8, 3))
+        params = model.init(jax.random.PRNGKey(0), z, z,
+                            jnp.ones((1, 8), bool), jnp.ones((1, 8), bool),
+                            jnp.zeros((1, 1, 3)))["params"]
+
+        def apply_fn(p, s, t, sm, tm, c):
+            return model.apply({"params": p}, s, t, sm, tm, c)
+
+        kw = dict(capacity=256, batch_size=4, icp_max_iter=3)
+        single = register_pairs(apply_fn, params, pairs, **kw)
+        sharded = register_pairs(apply_fn, params, pairs,
+                                 mesh=make_mesh(n_data=4), **kw)
+        for a, b in zip(single, sharded):
+            np.testing.assert_allclose(b.transform, a.transform, atol=1e-4)
+            assert b.n_corr == a.n_corr
+            assert b.fitness == pytest.approx(a.fitness, abs=1e-5)
+
+    def test_mesh_indivisible_batch_raises(self):
+        from scream_tpu.parallel.mesh import make_mesh
+        from scream_tpu.pipeline import register_pairs
+
+        with pytest.raises(ValueError, match="divide"):
+            register_pairs(lambda *a: None, None,
+                           [(np.zeros((4, 3)), np.zeros((4, 3)))],
+                           batch_size=3, mesh=make_mesh(n_data=4))
+
     def test_multi_pass_compose_freeze_early_exit(self, monkeypatch):
         """The passes>1 loop semantics (register_pair's, per pair): accepted
         passes COMPOSE, a rejected pass FREEZES that pair permanently (even
@@ -297,7 +339,7 @@ class TestRegisterPairs:
                np.float32([0, 0, 1]), np.float32([5, 5, 5])]
         calls = []
 
-        def fake_batch(apply_fn, params, b, *a):
+        def fake_batch(apply_fn, params, b, *a, **kw):
             p = len(calls)
             calls.append(p)
             B = b["src"].shape[0]
