@@ -559,6 +559,12 @@ def cmd_register(args):
     def apply_fn(p, s, t, sm, tm, c):
         return model.apply({"params": p}, s, t, sm, tm, c)
 
+    mesh = _parse_mesh(args)
+    if mesh is not None and (manifest is None or args.robust):
+        raise SystemExit(
+            "--mesh shards the batched manifest path only (single-pair and "
+            "--robust dispatches are not sharded; see "
+            "pipeline.register_pairs)")
     if manifest is not None:
         # Batched serving path: one compile per (capacity, batch) shape,
         # reused across the whole stream; one JSON line per pair. --robust
@@ -575,7 +581,7 @@ def cmd_register(args):
                 apply_fn, params, manifest,
                 normalize=normalize, dis_thresh=args.dis_thresh,
                 icp_thresh=args.icp_thresh, icp_max_iter=args.icp_max_iter,
-                batch_size=args.batch_size, passes=args.passes,
+                batch_size=args.batch_size, passes=args.passes, mesh=mesh,
             )
         for i, res in enumerate(results):
             print(json.dumps({
@@ -868,7 +874,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-start + coarse-to-fine search for LARGE "
                         "unknown poses (~20x cost; see "
                         "pipeline.register_pair_robust)")
-    r.add_argument("--out", default=None, help="save the 4x4 transform here")
+    r.add_argument("--out", default=None,
+                   help="save the 4x4 transform here (stacked (P, 4, 4) in "
+                        "manifest mode)")
+    r.add_argument("--mesh", default=None,
+                   help="manifest mode: shard each dispatch's lanes over "
+                        "the mesh's data axis, e.g. 'data=4' (pod-scale "
+                        "serving; --batch-size must divide by it)")
     r.add_argument("--d-model", type=int, default=None)
     r.add_argument("--self-layers", type=int, default=None)
     r.add_argument("--cross-layers", type=int, default=None)

@@ -335,6 +335,37 @@ class TestRegisterCLI:
         np.testing.assert_allclose(
             saved, np.stack([np.asarray(r["transform"]) for r in rows]))
 
+    def test_register_manifest_mesh_sharded(self, capsys, tmp_path):
+        """`register --manifest --mesh data=2`: the serving dispatch shards
+        over the data axis; same output contract as the unsharded path."""
+        import numpy as np
+
+        rng = np.random.default_rng(6)
+        lines = []
+        for k in range(2):
+            s = rng.uniform(-1, 1, (90, 3)).astype(np.float32)
+            np.save(tmp_path / f"s{k}.npy", s)
+            np.save(tmp_path / f"t{k}.npy", s + np.float32([0.02, 0.0, 0.0]))
+            lines.append(f"{tmp_path}/s{k}.npy {tmp_path}/t{k}.npy")
+        (tmp_path / "pairs.txt").write_text("\n".join(lines) + "\n")
+
+        main(["register", "--manifest", str(tmp_path / "pairs.txt"),
+              "--batch-size", "2", "--mesh", "data=2",
+              "--d-model", "32", "--self-layers", "1", "--cross-layers", "1",
+              "--dtype", "float32"])
+        rows = [json.loads(l) for l in
+                capsys.readouterr().out.strip().splitlines()]
+        assert [r["pair"] for r in rows] == [0, 1]
+        assert all(np.isfinite(r["transform"]).all() for r in rows)
+
+    def test_register_mesh_rejected_off_manifest(self, tmp_path):
+        import numpy as np
+
+        np.save(tmp_path / "a.npy", np.zeros((8, 3), np.float32))
+        with pytest.raises(SystemExit, match="manifest path only"):
+            main(["register", "--src", str(tmp_path / "a.npy"),
+                  "--tgt", str(tmp_path / "a.npy"), "--mesh", "data=2"])
+
     def test_register_manifest_conflicts_and_validation(self, tmp_path):
         import numpy as np
 
