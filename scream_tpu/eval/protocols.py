@@ -305,13 +305,28 @@ def evaluate_kitti(
 
     params = _replicate_params(params, mesh)
     if icp_chunk is not None:
-        dispatch = lambda batch: register_batch_requeue(
-            apply_fn, params, _to_device(batch, mesh=mesh),
-            dis_thresh=dis_thresh, corr="tgt",
-            icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
-            icp_chunk=icp_chunk,
-            center_mode=center_mode, spmd=mesh is not None,
-        )
+        # Lag-1 on the SOLVE stage only: its jitted dispatch is async, so
+        # batch k+1's forward queues on-device before batch k's chunked ICP
+        # starts host-syncing — the requeue path keeps the dispatch overlap
+        # the fused path gets from _lag1 directly.
+        from scream_tpu.pipeline.register import _register_solve_stage
+
+        def dispatch(batch):
+            dev = _to_device(batch, mesh=mesh)
+            pre = _register_solve_stage(
+                apply_fn, params, dev, dis_thresh, "tgt", center_mode,
+                mesh is not None,
+            )
+            return dev, pre
+
+        for (dev, pre), _ in _lag1(loader, dispatch):
+            _consume(register_batch_requeue(
+                apply_fn, params, dev,
+                dis_thresh=dis_thresh, corr="tgt",
+                icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
+                icp_chunk=icp_chunk, center_mode=center_mode,
+                spmd=mesh is not None, presolved=pre,
+            ))
     else:
         dispatch = lambda batch: register_batch(
             apply_fn, params, _to_device(batch, mesh=mesh),
@@ -319,8 +334,8 @@ def evaluate_kitti(
             icp_thresh=icp_thresh, icp_max_iter=icp_max_iter,
             center_mode=center_mode, spmd=mesh is not None,
         )
-    for m, _ in _lag1(loader, dispatch):
-        _consume(m)
+        for m, _ in _lag1(loader, dispatch):
+            _consume(m)
     return {
         "success_rate": succ / max(total, 1),
         "success_rre": succ_re / max(succ, 1),

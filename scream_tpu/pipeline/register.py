@@ -310,6 +310,7 @@ def register_batch_requeue(
     icp_subsample: Optional[int] = None,
     center_mode: str = "trans",
     spmd: bool = False,
+    presolved=None,
 ) -> RegistrationMetrics:
     """:func:`register_batch` semantics with host-requeued chunked ICP.
 
@@ -324,15 +325,20 @@ def register_batch_requeue(
     Open3D criteria), so the keep-iff-both-improve acceptance and every
     downstream protocol number are unchanged.
 
-    The chunk boundaries synchronize with the host, so this path trades the
-    eval protocols' lag-1 dispatch overlap for straggler elimination — the
-    right trade exactly when ICP dominates (the 1000-iteration KITTI class).
+    The chunk boundaries synchronize with the host; callers that stream
+    batches recover the lost dispatch overlap by pre-dispatching the NEXT
+    batch's :func:`_register_solve_stage` (async under jit) before this
+    batch's chunk loop starts syncing, then passing its result here as
+    ``presolved`` — the device fills every host-sync gap with the next
+    forward (`eval.protocols.evaluate_kitti` does this).
     """
     from scream_tpu.geometry.icp import registration_icp_batched
 
-    sol, gt_T, src_dn, tgt_dn = _register_solve_stage(
-        apply_fn, params, batch, dis_thresh, corr, center_mode, spmd,
-    )
+    if presolved is None:
+        presolved = _register_solve_stage(
+            apply_fn, params, batch, dis_thresh, corr, center_mode, spmd,
+        )
+    sol, gt_T, src_dn, tgt_dn = presolved
     src_mask, tgt_mask = batch["src_mask"], batch["tgt_mask"]
     icp_src, icp_src_mask = src_dn, src_mask
     if icp_subsample is not None and icp_subsample < src_dn.shape[1]:
