@@ -131,3 +131,31 @@ class TestRegisterBatchRequeue:
         assert base["success_rate"] == pytest.approx(req["success_rate"])
         assert base["success_rre"] == pytest.approx(req["success_rre"], abs=1e-4)
         assert base["success_rte"] == pytest.approx(req["success_rte"], abs=1e-5)
+
+    def test_kitti_mesh_plus_chunk(self):
+        """--mesh and --icp-chunk compose: the chunk loop's host-side lane
+        gathers reshard transparently under GSPMD (data-sharded batches,
+        pow2-compacted lane counts not divisible by the axis included)."""
+        import jax
+
+        from scream_tpu.data import PairLoader, SyntheticPairDataset
+        from scream_tpu.eval.protocols import evaluate_kitti
+        from scream_tpu.parallel.mesh import make_mesh
+
+        def identity_model(params, src, tgt, sm, tm, c):
+            return src
+
+        ds = SyntheticPairDataset(length=8, n_src=180, n_tgt=200, seed=5,
+                                  normalize="unit_cube")
+        mk = lambda: PairLoader(ds, batch_size=4, src_capacity=256,
+                                tgt_capacity=256, num_workers=0)
+        mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+        base = evaluate_kitti(identity_model, None, mk(), dis_thresh=100.0,
+                              icp_thresh=0.5, icp_max_iter=25)
+        got = evaluate_kitti(identity_model, None, mk(), dis_thresh=100.0,
+                             icp_thresh=0.5, icp_max_iter=25, mesh=mesh,
+                             icp_chunk=3)
+        assert got["n_pairs"] == base["n_pairs"] == 8
+        assert got["success_rate"] == pytest.approx(base["success_rate"])
+        assert got["success_rre"] == pytest.approx(base["success_rre"],
+                                                   abs=1e-3)
