@@ -527,6 +527,22 @@ def cmd_register(args):
         src = load_cloud(args.src, "src")
         tgt = load_cloud(args.tgt, "tgt")
 
+    # Mesh validation BEFORE the model build / checkpoint load (same
+    # fail-fast convention as evaluate --icp-chunk).
+    if args.mesh and (manifest is None or args.robust):
+        raise SystemExit(
+            "--mesh shards the batched manifest path only (single-pair and "
+            "--robust dispatches are not sharded; see "
+            "pipeline.register_pairs)")
+    try:
+        mesh = _parse_mesh(args)
+        if mesh is not None and args.batch_size % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"--batch-size {args.batch_size} must divide by the mesh "
+                f"data axis ({mesh.shape['data']})")
+    except (ValueError, AssertionError) as e:
+        raise SystemExit(f"--mesh: {e}")
+
     model_cfg = ModelConfig()
     normalize = args.normalize
     if args.params:
@@ -559,12 +575,6 @@ def cmd_register(args):
     def apply_fn(p, s, t, sm, tm, c):
         return model.apply({"params": p}, s, t, sm, tm, c)
 
-    mesh = _parse_mesh(args)
-    if mesh is not None and (manifest is None or args.robust):
-        raise SystemExit(
-            "--mesh shards the batched manifest path only (single-pair and "
-            "--robust dispatches are not sharded; see "
-            "pipeline.register_pairs)")
     if manifest is not None:
         # Batched serving path: one compile per (capacity, batch) shape,
         # reused across the whole stream; one JSON line per pair. --robust

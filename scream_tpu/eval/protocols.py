@@ -287,8 +287,9 @@ def evaluate_kitti(
     ``icp_chunk``: when set, route each batch through
     :func:`register_batch_requeue` — chunked ICP with host-side straggler
     compaction (identical protocol numbers; converged pairs stop paying for
-    the slowest lane's 1000-iteration ride). This path synchronizes with
-    the host between chunks, so it skips the lag-1 dispatch overlap.
+    the slowest lane's 1000-iteration ride). The dispatch overlap is kept:
+    batch k+1's forward+solve is lag-1 pre-dispatched before batch k's
+    chunk loop starts host-syncing.
     """
     total = 0
     succ, succ_re, succ_te = 0, 0.0, 0.0

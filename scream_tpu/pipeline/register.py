@@ -622,7 +622,7 @@ def register_pairs(
     if passes < 1:
         raise ValueError(f"passes must be >= 1, got {passes}")
     if mesh is not None:
-        from scream_tpu.parallel.mesh import replicated
+        from scream_tpu.parallel.mesh import replicated, to_device_maybe_sharded
 
         if batch_size % mesh.shape["data"] != 0:
             raise ValueError(
@@ -660,8 +660,6 @@ def register_pairs(
                 "center": np.stack([c[5] for c in chunk]),
             }
             if mesh is not None:
-                from scream_tpu.parallel.mesh import to_device_maybe_sharded
-
                 b = to_device_maybe_sharded(b, mesh)
             else:
                 b = {k: jnp.asarray(v) for k, v in b.items()}

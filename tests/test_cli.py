@@ -366,6 +366,21 @@ class TestRegisterCLI:
             main(["register", "--src", str(tmp_path / "a.npy"),
                   "--tgt", str(tmp_path / "a.npy"), "--mesh", "data=2"])
 
+    def test_register_mesh_indivisible_batch_fails_fast(self, tmp_path):
+        """Bad --mesh/--batch-size combos exit cleanly BEFORE the model
+        build / checkpoint load (no raw ValueError traceback mid-serve)."""
+        import numpy as np
+
+        np.save(tmp_path / "a.npy", np.zeros((8, 3), np.float32))
+        (tmp_path / "m.txt").write_text(
+            f"{tmp_path}/a.npy {tmp_path}/a.npy\n")
+        with pytest.raises(SystemExit, match="must divide"):
+            main(["register", "--manifest", str(tmp_path / "m.txt"),
+                  "--batch-size", "6", "--mesh", "data=4"])
+        with pytest.raises(SystemExit, match="--mesh"):
+            main(["register", "--manifest", str(tmp_path / "m.txt"),
+                  "--batch-size", "4", "--mesh", "bogus"])
+
     def test_register_manifest_conflicts_and_validation(self, tmp_path):
         import numpy as np
 
