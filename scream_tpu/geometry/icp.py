@@ -141,8 +141,10 @@ def _make_icp_fns(src, tgt, src_mask, tgt_mask, thresh_sq,
                   relative_fitness, relative_rmse, force_xla):
     """The per-iteration machinery shared by :func:`registration_icp` and
     the chunked batched driver (:func:`registration_icp_batched`): both must
-    trace the SAME ops or the chunked path stops being bit-identical to the
-    continuous loop.
+    trace the SAME ops or the chunked path's trajectory diverges from the
+    continuous loop's (they already compile as different XLA graphs, so
+    reductions can differ at fp noise — don't add op-level divergence on
+    top).
 
     Returns ``(step, converged, measure)`` closures over the (already
     sorted, float32) clouds.
@@ -344,11 +346,14 @@ def registration_icp_batched(
     lanes K iterations at a time, retires lanes that converged, and compacts
     the survivors into the next power-of-two lane count (bounded compile
     set; padding duplicates lane 0 of the survivors). The carried
-    convergence state (`_State`) makes the chunked iterate sequence
-    IDENTICAL to the continuous loop — same transforms, same Open3D
-    convergence checks, same T_meas/T_pending return select — so protocol
-    semantics are untouched; only wasted converged-lane iterations are
-    skipped.
+    convergence state (`_State`) preserves the continuous loop's iterate
+    sequence — same step ops, same Open3D convergence checks, same
+    T_meas/T_pending return select. The two paths compile as different XLA
+    graphs, so a convergence delta landing within fp reduction noise of
+    the 1e-6 criteria can cost one path a single extra iteration from the
+    already-converged fixed point; the returned transform is unchanged
+    (property-tested), so protocol outputs are untouched — only wasted
+    converged-lane iterations are skipped.
 
     Returns a batched :class:`ICPResult` in input lane order.
     """

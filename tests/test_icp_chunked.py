@@ -48,8 +48,10 @@ class TestChunkedEqualsContinuous:
         assert len(set(np.asarray(ref.iterations).tolist())) >= 3
         got = self._run(chunk=chunk)
         # The carried convergence state reproduces the continuous loop's
-        # iterate sequence: same transforms (bitwise on one backend), same
-        # applied-iteration counts.
+        # iterate sequence. These fixed scenarios sit far from the 1e-6
+        # convergence knife edge, so transforms and iteration counts match
+        # exactly; near the edge fp graph differences can add one no-op
+        # iteration (see test_randomized_equivalence).
         np.testing.assert_array_equal(np.asarray(got.transformation),
                                       np.asarray(ref.transformation))
         np.testing.assert_array_equal(np.asarray(got.iterations),
@@ -69,6 +71,51 @@ class TestChunkedEqualsContinuous:
                                       np.asarray(ref.transformation))
         np.testing.assert_array_equal(np.asarray(got.iterations),
                                       np.asarray(ref.iterations))
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+    def test_randomized_equivalence(self, seed):
+        """Property: for random lane counts (incl. 1), random masked padding,
+        random chunk sizes and budgets, the chunked driver's transforms and
+        iteration counts equal the continuous loop's — lane-bookkeeping edge
+        cases (simultaneous retirement, odd lane counts, full-batch
+        exhaustion) included."""
+        rng = np.random.default_rng(100 + seed)
+        B = int(rng.integers(1, 7))
+        N = 64
+        srcs, tgts, masks = [], [], []
+        for i in range(B):
+            n_real = int(rng.integers(20, N + 1))
+            s = rng.standard_normal((N, 3)).astype(np.float32)
+            ang = float(rng.uniform(0.05, 0.4))
+            c, sn = np.cos(ang), np.sin(ang)
+            R = np.array([[c, -sn, 0], [sn, c, 0], [0, 0, 1]], np.float32)
+            noise = rng.standard_normal((N, 3)).astype(np.float32) * \
+                float(rng.uniform(0.0, 0.01))
+            srcs.append(s)
+            tgts.append(s @ R.T + noise)
+            m = np.zeros(N, bool)
+            m[:n_real] = True
+            masks.append(m)
+        src = jnp.asarray(np.stack(srcs))
+        tgt = jnp.asarray(np.stack(tgts))
+        sm = jnp.asarray(np.stack(masks))
+        chunk = int(rng.integers(1, 9))
+        max_it = int(rng.integers(1, 30))
+
+        kw = dict(max_iteration=max_it, src_mask=sm, tgt_mask=sm)
+        ref = registration_icp_batched(src, tgt, 0.5, **kw)
+        got = registration_icp_batched(src, tgt, 0.5, chunk=chunk, **kw)
+        np.testing.assert_allclose(np.asarray(got.transformation),
+                                   np.asarray(ref.transformation),
+                                   atol=1e-5,
+                                   err_msg=f"B={B} chunk={chunk} "
+                                           f"max_it={max_it}")
+        # The two paths compile different graphs; when a convergence delta
+        # sits within fp reduction noise of the 1e-6 criteria, one path can
+        # run ONE extra iteration from the already-converged fixed point
+        # (transform unchanged). Anything beyond +-1 is a bookkeeping bug.
+        assert int(np.max(np.abs(np.asarray(got.iterations)
+                                 - np.asarray(ref.iterations)))) <= 1
 
     def test_bad_chunk_raises(self):
         with pytest.raises(ValueError, match="chunk"):
