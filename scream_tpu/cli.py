@@ -504,6 +504,18 @@ def cmd_register(args):
                              f"got shape {arr.shape}")
         return arr
 
+    scans = None
+    if args.scans:
+        if args.src or args.tgt or args.manifest:
+            raise SystemExit("--scans is exclusive with --src/--tgt/--manifest")
+        if args.robust:
+            raise SystemExit(
+                "--scans uses the batched serving path; --robust is a "
+                "single-pair search (see pipeline.register_multiway)")
+        if len(args.scans) < 2:
+            raise SystemExit("--scans needs at least two clouds")
+        scans = [load_cloud(p, f"scan {k}") for k, p in enumerate(args.scans)]
+
     manifest = None
     if args.manifest:
         if args.src or args.tgt:
@@ -521,18 +533,18 @@ def cmd_register(args):
                                  load_cloud(parts[1], f"line {ln} tgt")))
         if not manifest:
             raise SystemExit(f"{args.manifest}: no pairs")
-    elif not (args.src and args.tgt):
-        raise SystemExit("need --src and --tgt (or --manifest)")
-    else:
+    elif scans is None and not (args.src and args.tgt):
+        raise SystemExit("need --src and --tgt (or --manifest / --scans)")
+    elif scans is None:
         src = load_cloud(args.src, "src")
         tgt = load_cloud(args.tgt, "tgt")
 
     # Mesh validation BEFORE the model build / checkpoint load (same
     # fail-fast convention as evaluate --icp-chunk).
-    if args.mesh and (manifest is None or args.robust):
+    if args.mesh and (manifest is None and scans is None or args.robust):
         raise SystemExit(
-            "--mesh shards the batched manifest path only (single-pair and "
-            "--robust dispatches are not sharded; see "
+            "--mesh shards the batched manifest/scans paths only "
+            "(single-pair and --robust dispatches are not sharded; see "
             "pipeline.register_pairs)")
     try:
         mesh = _parse_mesh(args)
@@ -574,6 +586,28 @@ def cmd_register(args):
 
     def apply_fn(p, s, t, sm, tm, c):
         return model.apply({"params": p}, s, t, sm, tm, c)
+
+    if scans is not None:
+        # Multiway: pairwise serving over chain+skip edges, then pose-graph
+        # synchronization (chordal averaging + translation LLS) — N scans
+        # into scan 0's frame, one JSON line per scan.
+        from scream_tpu.pipeline import default_edges, register_multiway
+
+        res = register_multiway(
+            apply_fn, params, scans,
+            edges=default_edges(len(scans), window=args.window),
+            normalize=normalize, dis_thresh=args.dis_thresh,
+            icp_thresh=args.icp_thresh, icp_max_iter=args.icp_max_iter,
+            batch_size=args.batch_size, passes=args.passes, mesh=mesh,
+        )
+        for k, pose in enumerate(res.poses):
+            print(json.dumps({"scan": k, "pose": pose.tolist()}))
+        print(f"[cli] {len(res.edges)} pairwise edges, fitness "
+              f"min/median {float(np.min(res.edge_fitness)):.3f}/"
+              f"{float(np.median(res.edge_fitness)):.3f}", file=sys.stderr)
+        if args.out:
+            np.save(args.out, res.poses)
+        return
 
     if manifest is not None:
         # Batched serving path: one compile per (capacity, batch) shape,
@@ -888,9 +922,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save the 4x4 transform here (stacked (P, 4, 4) in "
                         "manifest mode)")
     r.add_argument("--mesh", default=None,
-                   help="manifest mode: shard each dispatch's lanes over "
-                        "the mesh's data axis, e.g. 'data=4' (pod-scale "
-                        "serving; --batch-size must divide by it)")
+                   help="manifest/scans modes: shard each dispatch's lanes "
+                        "over the mesh's data axis, e.g. 'data=4' (pod-"
+                        "scale serving; --batch-size must divide by it)")
+    r.add_argument("--scans", nargs="+", default=None,
+                   help="multiway: N scan .npy paths -> absolute poses in "
+                        "scan 0's frame (pairwise serving + pose-graph "
+                        "synchronization, pipeline.register_multiway)")
+    r.add_argument("--window", type=int, default=2,
+                   help="multiway edge window: pair each scan with the "
+                        "next W scans (chain + skip loop closures)")
     r.add_argument("--d-model", type=int, default=None)
     r.add_argument("--self-layers", type=int, default=None)
     r.add_argument("--cross-layers", type=int, default=None)

@@ -1,5 +1,11 @@
 """End-to-end pipelines: registration solve, training/eval step assembly."""
 
+from scream_tpu.pipeline.multiway import (
+    MultiwayResult,
+    default_edges,
+    register_multiway,
+    synchronize_poses,
+)
 from scream_tpu.pipeline.register import (
     PairRegistration,
     PoseSolution,
@@ -15,7 +21,11 @@ from scream_tpu.pipeline.register import (
 )
 
 __all__ = [
+    "MultiwayResult",
     "PairRegistration",
+    "default_edges",
+    "register_multiway",
+    "synchronize_poses",
     "PoseSolution",
     "RegistrationMetrics",
     "denormalized_gt",

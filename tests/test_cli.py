@@ -362,7 +362,7 @@ class TestRegisterCLI:
         import numpy as np
 
         np.save(tmp_path / "a.npy", np.zeros((8, 3), np.float32))
-        with pytest.raises(SystemExit, match="manifest path only"):
+        with pytest.raises(SystemExit, match="manifest/scans paths only"):
             main(["register", "--src", str(tmp_path / "a.npy"),
                   "--tgt", str(tmp_path / "a.npy"), "--mesh", "data=2"])
 
@@ -380,6 +380,44 @@ class TestRegisterCLI:
         with pytest.raises(SystemExit, match="--mesh"):
             main(["register", "--manifest", str(tmp_path / "m.txt"),
                   "--batch-size", "4", "--mesh", "bogus"])
+
+    def test_register_scans_multiway(self, capsys, tmp_path):
+        """`register --scans a b c` -> absolute poses in scan 0's frame
+        (pose-graph sync over the serving path), --out saves (N, 4, 4)."""
+        import numpy as np
+
+        rng = np.random.default_rng(8)
+        scene = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+        paths = []
+        for k in range(3):
+            shift = np.float32([0.02 * k, 0.0, 0.0])
+            np.save(tmp_path / f"scan{k}.npy",
+                    scene[rng.choice(300, 250, replace=False)] - shift)
+            paths.append(str(tmp_path / f"scan{k}.npy"))
+
+        main(["register", "--scans", *paths, "--out", str(tmp_path / "P.npy"),
+              "--batch-size", "3",
+              "--d-model", "32", "--self-layers", "1", "--cross-layers", "1",
+              "--dtype", "float32"])
+        rows = [json.loads(l) for l in
+                capsys.readouterr().out.strip().splitlines()]
+        assert [r["scan"] for r in rows] == [0, 1, 2]
+        P = np.load(tmp_path / "P.npy")
+        assert P.shape == (3, 4, 4)
+        np.testing.assert_allclose(P[0], np.eye(4), atol=1e-6)  # gauge
+        assert np.isfinite(P).all()
+
+    def test_register_scans_validation(self, tmp_path):
+        import numpy as np
+
+        np.save(tmp_path / "a.npy", np.zeros((8, 3), np.float32))
+        a = str(tmp_path / "a.npy")
+        with pytest.raises(SystemExit, match="exclusive"):
+            main(["register", "--scans", a, a, "--src", a, "--tgt", a])
+        with pytest.raises(SystemExit, match="at least two"):
+            main(["register", "--scans", a])
+        with pytest.raises(SystemExit, match="robust"):
+            main(["register", "--scans", a, a, "--robust"])
 
     def test_register_manifest_conflicts_and_validation(self, tmp_path):
         import numpy as np
