@@ -596,6 +596,7 @@ def cmd_register(args):
         res = register_multiway(
             apply_fn, params, scans,
             edges=default_edges(len(scans), window=args.window),
+            refine_rounds=args.refine_rounds,
             normalize=normalize, dis_thresh=args.dis_thresh,
             icp_thresh=args.icp_thresh, icp_max_iter=args.icp_max_iter,
             batch_size=args.batch_size, passes=args.passes, mesh=mesh,
@@ -932,6 +933,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--window", type=int, default=2,
                    help="multiway edge window: pair each scan with the "
                         "next W scans (chain + skip loop closures)")
+    r.add_argument("--refine-rounds", type=int, default=0,
+                   help="multiway: scan-to-map ICP polish rounds after the "
+                        "pose-graph synchronization")
     r.add_argument("--d-model", type=int, default=None)
     r.add_argument("--self-layers", type=int, default=None)
     r.add_argument("--cross-layers", type=int, default=None)

@@ -3,6 +3,7 @@
 from scream_tpu.pipeline.multiway import (
     MultiwayResult,
     default_edges,
+    refine_to_map,
     register_multiway,
     synchronize_poses,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "MultiwayResult",
     "PairRegistration",
     "default_edges",
+    "refine_to_map",
     "register_multiway",
     "synchronize_poses",
     "PoseSolution",

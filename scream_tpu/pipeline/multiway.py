@@ -203,6 +203,60 @@ def default_edges(n: int, window: int = 2) -> List[Tuple[int, int]]:
     return [(i, j) for i in range(n) for j in range(i + 1, min(i + window + 1, n))]
 
 
+def refine_to_map(
+    clouds: Sequence[np.ndarray],
+    poses: np.ndarray,
+    icp_thresh: float,
+    max_iteration: int = 30,
+    rounds: int = 1,
+) -> np.ndarray:
+    """Scan-to-map ICP polish of synchronized poses.
+
+    Each round re-registers every scan (at its current absolute pose)
+    against the union of the OTHER scans in the world frame — pairwise
+    measurements only see two scans at a time; the map constraint pulls all
+    of them onto consensus geometry. A refinement is kept per scan only if
+    its ICP fitness does not drop. Gauge preserved (scan 0 skipped).
+
+    Pads the map to the training bucket ladder so a stream of calls reuses
+    compiles. Cost per round: N bounded-NN ICPs against an (N-1)-scan map.
+    """
+    from scream_tpu.data.batching import pad_cloud
+    from scream_tpu.geometry.icp import registration_icp
+    from scream_tpu.pipeline.register import _default_capacity
+
+    clouds = [np.asarray(c, np.float32) for c in clouds]
+    n = len(clouds)
+    poses = np.array(poses, np.float32)
+    if n <= 1 or rounds < 1:
+        return poses
+
+    def to_world(k):
+        R, t = poses[k, :3, :3], poses[k, :3, 3]
+        return (clouds[k] @ R.T + t).astype(np.float32)
+
+    scan_cap = _default_capacity(max(len(c) for c in clouds))
+    map_cap = _default_capacity(sum(len(c) for c in clouds))
+    best_fit = np.full(n, -1.0, np.float32)
+    for _ in range(rounds):
+        world = [to_world(k) for k in range(n)]
+        for k in range(1, n):  # scan 0 is the gauge
+            m = np.concatenate([world[i] for i in range(n) if i != k])
+            sp, sm = pad_cloud(world[k], scan_cap)
+            mp, mm = pad_cloud(m, map_cap)
+            res = registration_icp(
+                jnp.asarray(sp), jnp.asarray(mp), icp_thresh,
+                max_iteration=max_iteration,
+                src_mask=jnp.asarray(sm), tgt_mask=jnp.asarray(mm),
+            )
+            fit = float(res.fitness)
+            if fit >= best_fit[k]:
+                best_fit[k] = fit
+                poses[k] = np.asarray(res.transformation) @ poses[k]
+                world[k] = to_world(k)
+    return poses
+
+
 def register_multiway(
     apply_fn: Callable,
     params,
@@ -210,6 +264,8 @@ def register_multiway(
     edges: Optional[Sequence[Tuple[int, int]]] = None,
     sweeps: int = 100,
     min_fitness: float = 0.0,
+    refine_rounds: int = 0,
+    refine_icp_thresh: Optional[float] = None,
     **register_kwargs,
 ) -> MultiwayResult:
     """Align N raw scans into one global frame, GT-free.
@@ -223,6 +279,11 @@ def register_multiway(
     ``min_fitness``: edges whose pairwise fitness falls below this keep
     their graph connectivity role but get weight 0 in the synchronization
     (a failed pairwise registration should not drag the global solve).
+
+    ``refine_rounds``: optional :func:`refine_to_map` polish after the
+    synchronization (scan-to-map ICP at ``refine_icp_thresh``, default the
+    pairwise ``icp_thresh`` — pass either explicitly when the clouds are
+    not unit-scale).
 
     Returns absolute ``poses`` with ``poses[0] = I``: apply as
     ``scan_k @ R_k.T + t_k`` to place every scan in scan 0's frame.
@@ -249,4 +310,8 @@ def register_multiway(
     fit = np.asarray([r.fitness for r in results], np.float32)
     w = np.where(fit >= min_fitness, fit, 0.0).astype(np.float32)
     poses = synchronize_poses(n, edges, rel, weights=w, sweeps=sweeps)
+    if refine_rounds > 0:
+        thresh = (refine_icp_thresh if refine_icp_thresh is not None
+                  else register_kwargs.get("icp_thresh", 0.1))
+        poses = refine_to_map(clouds, poses, thresh, rounds=refine_rounds)
     return MultiwayResult(poses, edges, fit)

@@ -153,6 +153,45 @@ class TestRegisterMultiway:
         rot_err, tr_err = _errors(res.poses, T_gt)
         assert rot_err < 2.0 and tr_err < 0.05
 
+    def test_refine_to_map_improves_noisy_sync(self):
+        """Scan-to-map polish: perturb the synchronized poses, refine
+        against the union map, recover."""
+        from scipy.spatial.transform import Rotation
+
+        from scream_tpu.pipeline import refine_to_map
+
+        rng = np.random.default_rng(9)
+        scene = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+        N = 4
+        T_gt = _random_poses(rng, N, rot_scale=0.1, trans_scale=0.1)
+        scans = []
+        for k in range(N):
+            inv = np.linalg.inv(T_gt[k])
+            pts = scene[rng.choice(500, 350, replace=False)]
+            scans.append((pts @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32))
+        noisy = np.stack(T_gt).copy()
+        for k in range(1, N):
+            noisy[k, :3, :3] = Rotation.from_rotvec(
+                rng.normal(size=3) * 0.03).as_matrix() @ noisy[k, :3, :3]
+            noisy[k, :3, 3] += rng.normal(size=3) * 0.03
+        refined = refine_to_map(scans, noisy, icp_thresh=0.3, rounds=2)
+        before_rot, before_tr = _errors(noisy, T_gt)
+        after_rot, after_tr = _errors(refined, T_gt)
+        # Monotone improvement; the floor is set by point-sampling bias
+        # (each scan holds a different 70% subset, so point-to-point NN has
+        # a small systematic pull at partial overlap) — measured 2.8 deg ->
+        # 1.7 (r2) -> 0.85 (r8).
+        assert after_rot < 0.75 * before_rot
+        assert after_tr < 0.75 * before_tr
+        np.testing.assert_allclose(refined[0], np.eye(4))  # gauge kept
+
+    def test_refine_noop_cases(self):
+        from scream_tpu.pipeline import refine_to_map
+
+        P = np.eye(4, dtype=np.float32)[None]
+        np.testing.assert_allclose(
+            refine_to_map([np.zeros((4, 3), np.float32)], P, 0.1), P)
+
     def test_bad_edge_rejected(self):
         with pytest.raises(ValueError, match="bad edge"):
             register_multiway(lambda *a: None, None,
