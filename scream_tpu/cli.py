@@ -498,10 +498,15 @@ def cmd_register(args):
     from scream_tpu.utils.checkpoint import load_params
 
     def load_cloud(path, name):
-        arr = np.load(path).astype(np.float32)
+        from scream_tpu.data.ply import load_cloud_any
+
+        try:
+            arr = load_cloud_any(path)
+        except ValueError as e:
+            raise SystemExit(f"{name}: {e}")
         if arr.ndim != 2 or arr.shape[1] != 3:
-            raise SystemExit(f"{name}: expected an (N, 3) .npy cloud, "
-                             f"got shape {arr.shape}")
+            raise SystemExit(f"{name}: expected an (N, 3) cloud "
+                             f"(.npy/.ply/.las/.laz), got shape {arr.shape}")
         return arr
 
     scans = None
@@ -895,11 +900,14 @@ def build_parser() -> argparse.ArgumentParser:
         "register",
         help="GT-free: align two raw .npy clouds, print the 4x4 transform",
     )
-    r.add_argument("--src", default=None, help="(N, 3) .npy source cloud")
-    r.add_argument("--tgt", default=None, help="(M, 3) .npy target cloud")
+    r.add_argument("--src", default=None,
+                   help="(N, 3) source cloud (.npy/.ply/.las/.laz)")
+    r.add_argument("--tgt", default=None,
+                   help="(M, 3) target cloud (.npy/.ply/.las/.laz)")
     r.add_argument("--manifest", default=None,
-                   help="file of 'src.npy tgt.npy' lines: register the whole "
-                        "stream batched (one compile, batch_size pairs per "
+                   help="file of 'src tgt' cloud-path lines "
+                        "(.npy/.ply/.las/.laz): register the whole stream "
+                        "batched (one compile, batch_size pairs per "
                         "forward), one JSON line per pair")
     r.add_argument("--batch-size", type=int, default=8,
                    help="pairs per forward in --manifest mode")
