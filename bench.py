@@ -29,10 +29,49 @@ import time
 # Every emitted metric also lands here so --write can persist the full run.
 RESULTS = []
 
+# Watchdog bookkeeping: the remote-TPU runtime's failure mode for a relay
+# that dies MID-RUN (after the startup probe passed) is an infinite retry
+# loop — no exception, no timeout. [last-progress time, headline-emitted?].
+_PROGRESS = [None, False]
+
 
 def _emit(record, stream=None):
     RESULTS.append(record)
-    print(json.dumps(record), file=stream or sys.stderr)
+    if _PROGRESS[0] is not None:
+        _PROGRESS[0] = time.time()
+    print(json.dumps(record), file=stream or sys.stderr, flush=True)
+
+
+def _start_watchdog(budget_s: int):
+    """Hard-exit with ONE structured JSON line if no metric lands for
+    ``budget_s`` (default 20 min — past the worst cold remote compile).
+    A driver run that would otherwise hang forever on a mid-run tunnel
+    death records a parseable stall instead."""
+    import threading
+
+    _PROGRESS[0] = time.time()
+
+    def run():
+        while True:
+            time.sleep(30)
+            idle = time.time() - _PROGRESS[0]
+            if idle > budget_s:
+                rec = {
+                    "error": "stalled",
+                    "metric": "3dmatch_registration_pairs_per_sec_per_chip",
+                    "value": None,
+                    "unit": "pairs/sec",
+                    "detail": f"no bench progress for {int(idle)}s "
+                              "(mid-run backend hang?)",
+                }
+                # The driver parses stdout; only use it if the headline
+                # line never made it out.
+                print(json.dumps(rec),
+                      file=sys.stderr if _PROGRESS[1] else sys.stdout,
+                      flush=True)
+                os._exit(4)
+
+    threading.Thread(target=run, daemon=True).start()
 
 BASELINE_PAIRS_PER_SEC = 50.0  # north-star target, BASELINE.json
 # Env overrides exist for the test-suite smoke path only; the driver runs
@@ -137,6 +176,7 @@ def main():
         "unit": "pairs/sec",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
     }, stream=sys.stdout)
+    _PROGRESS[1] = True  # headline out: a later stall may not reuse stdout
     print(
         f"# backend={jax.default_backend()} batch={BATCH} n_points={N_POINTS} "
         f"icp_iters={ICP_ITERS} compile={compile_s:.1f}s "
@@ -610,6 +650,7 @@ if __name__ == "__main__":
                 "(known: --suite --breakdown --write PATH --trace DIR)\n")
             sys.exit(2)
     _probe_backend()
+    _start_watchdog(int(os.environ.get("BENCH_WATCHDOG_S", 1200)))
     try:
         main()
         if write_path is not None:
