@@ -502,7 +502,7 @@ def cmd_register(args):
 
         try:
             arr = load_cloud_any(path)
-        except ValueError as e:
+        except (ValueError, OSError) as e:
             raise SystemExit(f"{name}: {e}")
         if arr.ndim != 2 or arr.shape[1] != 3:
             raise SystemExit(f"{name}: expected an (N, 3) cloud "
@@ -519,6 +519,8 @@ def cmd_register(args):
                 "single-pair search (see pipeline.register_multiway)")
         if len(args.scans) < 2:
             raise SystemExit("--scans needs at least two clouds")
+        if args.window < 1:
+            raise SystemExit(f"--window must be >= 1, got {args.window}")
         scans = [load_cloud(p, f"scan {k}") for k, p in enumerate(args.scans)]
 
     manifest = None

@@ -40,42 +40,58 @@ def read_ply(path: str) -> np.ndarray:
         if magic != b"ply":
             raise ValueError(f"{path}: not a PLY file (magic {magic!r})")
         fmt = None
-        n_vertex = None
-        props: List[Tuple[str, str]] = []  # (name, numpy dtype code)
-        in_vertex = False
+        # Header elements IN DECLARATION ORDER — the data blocks follow the
+        # same order, so elements declared BEFORE vertex must be skipped
+        # over (a camera/obj_info element first is spec-legal).
+        elements: List[Tuple[str, int, List[Tuple[str, str]]]] = []
         while True:
             line = f.readline()
             if not line:
                 raise ValueError(f"{path}: header ended before end_header")
             parts = line.decode("ascii", "replace").strip().split()
-            if not parts or parts[0] == "comment":
+            if not parts or parts[0] in ("comment", "obj_info"):
                 continue
             if parts[0] == "format":
                 fmt = parts[1]
             elif parts[0] == "element":
-                in_vertex = parts[1] == "vertex"
-                if in_vertex:
-                    n_vertex = int(parts[2])
-            elif parts[0] == "property" and in_vertex:
+                elements.append((parts[1], int(parts[2]), []))
+            elif parts[0] == "property":
+                if not elements:
+                    raise ValueError(f"{path}: property before any element")
                 if parts[1] == "list":
-                    raise ValueError(
-                        f"{path}: list property {parts[-1]!r} on the vertex "
-                        "element is unsupported")
-                if parts[1] not in _TYPES:
-                    raise ValueError(f"{path}: unknown type {parts[1]!r}")
-                props.append((parts[-1], _TYPES[parts[1]]))
+                    # List sizes are data-dependent: impossible to skip and
+                    # unsupported on vertices (no scan tool emits them there).
+                    elements[-1][2].append((parts[-1], "list"))
+                else:
+                    if parts[1] not in _TYPES:
+                        raise ValueError(f"{path}: unknown type {parts[1]!r}")
+                    elements[-1][2].append((parts[-1], _TYPES[parts[1]]))
             elif parts[0] == "end_header":
                 break
         if fmt not in ("ascii", "binary_little_endian", "binary_big_endian"):
             raise ValueError(f"{path}: unsupported format {fmt!r}")
-        if n_vertex is None:
+        vertex_idx = [k for k, (nm, _, _) in enumerate(elements)
+                      if nm == "vertex"]
+        if not vertex_idx:
             raise ValueError(f"{path}: no vertex element")
+        before = elements[: vertex_idx[0]]
+        _, n_vertex, props = elements[vertex_idx[0]]
+        for el_name, _, el_props in before + [("vertex", 0, props)]:
+            for pn, pc in el_props:
+                if pc == "list":
+                    raise ValueError(
+                        f"{path}: list property {pn!r} on element "
+                        f"{el_name!r} (before/at vertex) is unsupported")
         names = [n for n, _ in props]
         for axis in ("x", "y", "z"):
             if axis not in names:
                 raise ValueError(f"{path}: vertex element lacks {axis!r}")
+        endian = ">" if fmt == "binary_big_endian" else "<"
 
         if fmt == "ascii":
+            for _, count, _ in before:  # skip pre-vertex element rows
+                for _ in range(count):
+                    f.readline()
             rows = np.loadtxt(
                 f, dtype=np.float64, max_rows=n_vertex, usecols=None,
                 ndmin=2,
@@ -87,7 +103,11 @@ def read_ply(path: str) -> np.ndarray:
             cols = [names.index(a) for a in ("x", "y", "z")]
             return rows[:, cols].astype(np.float32)
 
-        endian = "<" if fmt == "binary_little_endian" else ">"
+        skip = sum(count * np.dtype(
+            [(n, endian + c) for n, c in el_props]).itemsize
+            for _, count, el_props in before)
+        if skip:
+            f.seek(skip, 1)
         dt = np.dtype([(n, endian + c) for n, c in props])
         buf = f.read(dt.itemsize * n_vertex)
         if len(buf) < dt.itemsize * n_vertex:

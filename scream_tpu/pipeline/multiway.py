@@ -119,8 +119,13 @@ def synchronize_poses(
     E = len(edges)
     if rel.shape[0] != E:
         raise ValueError(f"{E} edges but {rel.shape[0]} transforms")
-    if E == 0 or n <= 1:
+    if n <= 1:
         return np.broadcast_to(np.eye(4, dtype=np.float32), (n, 4, 4)).copy()
+    if E == 0:
+        # Same contract as any other disconnected graph — returning N
+        # identities would look like a (silently wrong) result.
+        raise ValueError(
+            f"pose graph is disconnected: {n} scans share no edges")
     w = (np.ones(E, np.float32) if weights is None
          else np.asarray(weights, np.float32))
     if w.shape != (E,):
@@ -167,6 +172,13 @@ def synchronize_poses(
     # Unknowns x = [t_1 ... t_{N-1}] in R^{3(N-1)}; per edge one 3-vector
     # residual. Dense weighted normal equations (the graph is tens of
     # nodes; 3(N-1) x 3(N-1) solve is trivial and exact).
+    # Zero-weight edges keep an EPSILON row here: a node whose every
+    # incident edge was down-weighted (all pairwise registrations failed a
+    # min_fitness gate) must fall back to its measurement-derived
+    # translation, not collapse to the ridge term's zero — epsilon rows are
+    # ~1e-4 of a real edge (so well-constrained nodes are unaffected) and
+    # ~1e4x the ridge (so epsilon-only nodes aren't shrunk toward zero).
+    w_t = jnp.where(w_j > 0, w_j, 1e-4)
     rhs_e = jnp.einsum("ejk,ek->ej", R_abs[dst], t_rel)  # (E, 3)
 
     def row_block(node_idx):
@@ -182,8 +194,8 @@ def synchronize_poses(
 
     blocks_i = jax.vmap(row_block)(src)   # (E, 3, 3(N-1))
     blocks_j = jax.vmap(row_block)(dst)
-    A = (blocks_i - blocks_j) * jnp.sqrt(w_j)[:, None, None]
-    b = rhs_e * jnp.sqrt(w_j)[:, None]
+    A = (blocks_i - blocks_j) * jnp.sqrt(w_t)[:, None, None]
+    b = rhs_e * jnp.sqrt(w_t)[:, None]
     A2 = A.reshape(-1, 3 * (n - 1))
     b2 = b.reshape(-1)
     AtA = A2.T @ A2 + 1e-8 * jnp.eye(3 * (n - 1))
@@ -237,21 +249,24 @@ def refine_to_map(
 
     scan_cap = _default_capacity(max(len(c) for c in clouds))
     map_cap = _default_capacity(sum(len(c) for c in clouds))
-    best_fit = np.full(n, -1.0, np.float32)
     for _ in range(rounds):
         world = [to_world(k) for k in range(n)]
         for k in range(1, n):  # scan 0 is the gauge
             m = np.concatenate([world[i] for i in range(n) if i != k])
             sp, sm = pad_cloud(world[k], scan_cap)
             mp, mm = pad_cloud(m, map_cap)
-            res = registration_icp(
-                jnp.asarray(sp), jnp.asarray(mp), icp_thresh,
-                max_iteration=max_iteration,
-                src_mask=jnp.asarray(sm), tgt_mask=jnp.asarray(mm),
-            )
-            fit = float(res.fitness)
-            if fit >= best_fit[k]:
-                best_fit[k] = fit
+            sp, mp = jnp.asarray(sp), jnp.asarray(mp)
+            sm, mm = jnp.asarray(sm), jnp.asarray(mm)
+            # Baseline: fitness AT the current pose against this round's
+            # map (max_iteration=0 measures without updating) — the gate
+            # needs a real comparison point or a diverging first round
+            # would be accepted unconditionally.
+            base = registration_icp(sp, mp, icp_thresh, max_iteration=0,
+                                    src_mask=sm, tgt_mask=mm)
+            res = registration_icp(sp, mp, icp_thresh,
+                                   max_iteration=max_iteration,
+                                   src_mask=sm, tgt_mask=mm)
+            if float(res.fitness) >= float(base.fitness):
                 poses[k] = np.asarray(res.transformation) @ poses[k]
                 world[k] = to_world(k)
     return poses
@@ -277,8 +292,11 @@ def register_multiway(
     :func:`default_edges` (chain + skip-2).
 
     ``min_fitness``: edges whose pairwise fitness falls below this keep
-    their graph connectivity role but get weight 0 in the synchronization
-    (a failed pairwise registration should not drag the global solve).
+    their graph connectivity role but drop to (near-)zero weight in the
+    synchronization — a failed pairwise registration should not drag
+    well-constrained nodes, while a node whose EVERY edge failed still
+    gets a best-effort pose from its own measurements (init rotation +
+    epsilon-weighted translation rows) rather than a silent zero.
 
     ``refine_rounds``: optional :func:`refine_to_map` polish after the
     synchronization (scan-to-map ICP at ``refine_icp_thresh``, default the
@@ -295,9 +313,14 @@ def register_multiway(
     if n == 0:
         return MultiwayResult(np.zeros((0, 4, 4), np.float32), [],
                               np.zeros((0,), np.float32))
+    if n == 1:
+        return MultiwayResult(np.eye(4, dtype=np.float32)[None], [],
+                              np.zeros((0,), np.float32))
     if edges is None:
         edges = default_edges(n)
     edges = [(int(i), int(j)) for i, j in edges]
+    if not edges:
+        raise ValueError(f"no edges for {n} scans (window too small?)")
     for i, j in edges:
         if not (0 <= i < n and 0 <= j < n) or i == j:
             raise ValueError(f"bad edge ({i}, {j}) for {n} scans")

@@ -95,10 +95,29 @@ class TestSynchronizePoses:
         rot_err, tr_err = _errors(poses, T)
         assert rot_err < 0.2 and tr_err < 0.01
 
+    def test_zero_weight_only_node_keeps_measurement_translation(self):
+        """A node whose EVERY incident edge has weight 0 (all pairwise
+        registrations failed a fitness gate) must fall back to its
+        measurement-derived translation, not collapse to zero."""
+        rng = np.random.default_rng(7)
+        N = 4
+        T = _random_poses(rng, N)
+        edges = default_edges(N, window=1)
+        rel = _measurements(T, edges)
+        w = np.ones(len(edges), np.float32)
+        w[-1] = 0.0  # node 3's ONLY edge
+        poses = synchronize_poses(N, edges, rel, weights=w)
+        # Exact measurements: even the epsilon-weighted node recovers.
+        rot_err, tr_err = _errors(poses, T)
+        assert rot_err < 0.2 and tr_err < 0.01
+        assert np.linalg.norm(poses[3][:3, 3]) > 0.5  # not collapsed
+
     def test_disconnected_graph_raises(self):
         with pytest.raises(ValueError, match="disconnected"):
             synchronize_poses(4, [(0, 1), (2, 3)],
                               np.stack([np.eye(4, dtype=np.float32)] * 2))
+        with pytest.raises(ValueError, match="disconnected"):
+            synchronize_poses(3, [], np.zeros((0, 4, 4), np.float32))
 
     def test_shape_validation(self):
         with pytest.raises(ValueError, match="transforms"):
@@ -198,6 +217,12 @@ class TestRegisterMultiway:
                               [np.zeros((4, 3)), np.zeros((4, 3))],
                               edges=[(0, 2)])
 
-    def test_empty(self):
+    def test_empty_and_single(self):
         res = register_multiway(lambda *a: None, None, [])
         assert res.poses.shape == (0, 4, 4)
+        one = register_multiway(lambda *a: None, None,
+                                [np.zeros((4, 3), np.float32)])
+        np.testing.assert_allclose(one.poses, np.eye(4)[None])
+        with pytest.raises(ValueError, match="no edges"):
+            register_multiway(lambda *a: None, None,
+                              [np.zeros((4, 3), np.float32)] * 2, edges=[])

@@ -73,6 +73,33 @@ class TestPly:
         q.write_bytes(header.encode() + body)
         np.testing.assert_allclose(read_ply(str(q)), xyz, atol=1e-5)
 
+    def test_element_before_vertex_skipped(self, tmp_path, xyz):
+        """Spec-legal PLY may declare elements BEFORE vertex (camera etc.);
+        their data blocks must be skipped, not read as vertices."""
+        n = len(xyz)
+        cam = np.arange(5, dtype="<f4").tobytes()
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            "element camera 1\n"
+            "property float cx\nproperty float cy\nproperty float cz\n"
+            "property float fx\nproperty float fy\n"
+            f"element vertex {n}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "end_header\n"
+        )
+        p = tmp_path / "cam.ply"
+        p.write_bytes(header.encode() + cam
+                      + np.ascontiguousarray(xyz, "<f4").tobytes())
+        np.testing.assert_allclose(read_ply(str(p)), xyz, atol=1e-5)
+
+        # ascii variant
+        header_a = header.replace("binary_little_endian", "ascii")
+        body = "0 0 0 0 0\n" + "\n".join(
+            " ".join(f"{v:.9g}" for v in row) for row in xyz) + "\n"
+        q = tmp_path / "cam_ascii.ply"
+        q.write_bytes(header_a.encode() + body.encode())
+        np.testing.assert_allclose(read_ply(str(q)), xyz, atol=1e-4)
+
     def test_rejections(self, tmp_path):
         p = tmp_path / "bad.ply"
         p.write_bytes(b"not a ply\n")
