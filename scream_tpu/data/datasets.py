@@ -275,6 +275,7 @@ class SyntheticPairDataset:
         augment: bool = False,
         seed: int = 0,
         with_info: bool = False,
+        extent: float = 1.0,
     ):
         self.length = length
         self.n_src, self.n_tgt, self.overlap = n_src, n_tgt, overlap
@@ -282,6 +283,7 @@ class SyntheticPairDataset:
         self.augment = augment
         self.seed = seed
         self.with_info = with_info
+        self.extent = extent
         self._seeds = _PerItemSeeds(seed + 99991)
 
     def __len__(self) -> int:
@@ -296,7 +298,8 @@ class SyntheticPairDataset:
         from scream_tpu.data.synthetic import make_pair
 
         rng = np.random.default_rng(self.seed * 1_000_003 + item)
-        pair = make_pair(rng, self.n_src, self.n_tgt, overlap=self.overlap)
+        pair = make_pair(rng, self.n_src, self.n_tgt, overlap=self.overlap,
+                         extent=self.extent)
         src, tgt = pair["src"], pair["tgt"]
         T = np.eye(4, dtype=np.float64)
         T[:3, :3], T[:3, 3:] = pair["rot"], pair["trans"]

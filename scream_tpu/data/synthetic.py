@@ -55,6 +55,7 @@ def make_pair(
     noise: float = 0.0,
     max_angle: float = np.pi / 2,
     max_trans: float = 0.5,
+    extent: float = 1.0,
 ) -> Dict[str, np.ndarray]:
     """A registration pair ``{src, tgt, rot, trans}`` with known GT.
 
@@ -63,8 +64,16 @@ def make_pair(
     fraction (``overlap=0`` reproduces the ZeroMatch regime where src and tgt
     share no scene content, cf. `/root/reference/process_3d_match.py:24-27`).
     GT maps src -> tgt frame: ``tgt_frame = R src + t``.
+
+    ``extent`` sets the scene's metric half-span; translation magnitude and
+    ``noise`` scale with it, so extent=1 reproduces the historic geometry
+    exactly while extent=40 yields an ~80 m KITTI-class scene where a 1.0 m
+    ICP threshold has the protocol's real selectivity
+    (`/root/reference/evaluate_kitti.py:69` runs ICP in the metric frame).
     """
-    scene = make_scene(rng, n_src + n_tgt + 2048)
+    scene = make_scene(rng, n_src + n_tgt + 2048, extent=extent)
+    max_trans = max_trans * extent
+    noise = noise * extent
     d = uniform_2_sphere(rng)
     proj = scene @ d
     order = np.argsort(proj)

@@ -50,7 +50,7 @@ def _use_bounded_nn(force_xla: bool) -> bool:
     )
 
 
-def _nn(src_t, tgt, tgt_mask, thresh_sq=None, force_xla=False):
+def _nn(src_t, tgt, tgt_mask, thresh_sq=None, force_xla=False, dead=None):
     """Single-pass fused NN returning winner coordinates — the Pallas kernel
     on TPU (one VMEM-resident pass, no HBM distance matrix, no index gather),
     the XLA path elsewhere. Called on unbatched clouds so that a caller's
@@ -63,12 +63,18 @@ def _nn(src_t, tgt, tgt_mask, thresh_sq=None, force_xla=False):
     threshold, tile-pruned elsewhere — correspondences beyond the threshold
     carry zero weight and are excluded from fitness/RMSE, so the pruning is
     protocol-exact (see ``ops.nn_pallas.nearest_neighbor_bounded``).
+
+    ``dead``: bool scalar; True force-skips every tile of the bounded kernel
+    (the lane's result is being discarded by a vmapped while_loop select —
+    see ``nearest_neighbor_bounded``). Ignored on the other paths: their
+    output is equally discarded, it just costs full price.
     """
     if jax.default_backend() == "tpu" and not force_xla:
         if thresh_sq is not None and _use_bounded_nn(force_xla):
             from scream_tpu.ops.nn_pallas import nearest_neighbor_bounded
 
-            return nearest_neighbor_bounded(src_t, tgt, thresh_sq, tgt_mask)
+            return nearest_neighbor_bounded(src_t, tgt, thresh_sq, tgt_mask,
+                                            dead=dead)
         from scream_tpu.ops.nn_pallas import nearest_neighbor_pallas
 
         d, _, xyz = nearest_neighbor_pallas(src_t, tgt, tgt_mask)
@@ -151,10 +157,10 @@ def _make_icp_fns(src, tgt, src_mask, tgt_mask, thresh_sq,
     """
     n_valid_src = jnp.clip(jnp.sum(src_mask.astype(jnp.float32)), 1.0, None)
 
-    def measure(T):
+    def measure(T, dead=None):
         src_t = src @ T[:3, :3].T + T[:3, 3]
         nn_dist, corr_tgt = _nn(src_t, tgt, tgt_mask, thresh_sq=thresh_sq,
-                                force_xla=force_xla)
+                                force_xla=force_xla, dead=dead)
         valid = (nn_dist < thresh_sq) & src_mask
         w = valid.astype(jnp.float32)
         n_inlier = jnp.sum(w)
@@ -162,8 +168,12 @@ def _make_icp_fns(src, tgt, src_mask, tgt_mask, thresh_sq,
         rmse = jnp.sqrt(jnp.sum(nn_dist * w) / jnp.clip(n_inlier, 1.0, None))
         return corr_tgt, w, n_inlier, fitness, rmse
 
-    def step(T):
-        corr_tgt, w, n_inlier, fitness, rmse = measure(T)
+    def step(T, dead=None):
+        # ``dead``: this lane's while_loop cond is False, so the caller's
+        # per-lane select discards everything computed here — skip the NN
+        # tiles (the iteration's entire cost) instead of computing a result
+        # nobody keeps. Only reaches the kernel on the bounded-NN path.
+        corr_tgt, w, n_inlier, fitness, rmse = measure(T, dead=dead)
         # Absolute re-estimate from original src (point-to-point closed form).
         T_new = kabsch(src[None], corr_tgt[None], w[None])[0]
         # If no inliers, keep the current estimate.
@@ -236,7 +246,12 @@ def registration_icp(
         # One NN pass serves both the metrics at T_pending and the next
         # Kabsch update — Open3D's GetRegistrationResultAndCorrespondences +
         # ComputeTransformation per-iteration structure.
-        T_new, fitness, rmse = step(s.T_pending)
+        # dead=~cond(s): unbatched, the loop never runs the body once cond is
+        # False, so this is always False here; under vmap (the batched ICP)
+        # the body DOES run for already-terminated lanes and the select
+        # discards its output — the flag turns those discarded NN passes
+        # into pure grid steps so converged lanes stop costing real work.
+        T_new, fitness, rmse = step(s.T_pending, dead=~cond(s))
         return _State(s.T_pending, T_new, fitness, rmse, s.fitness, s.rmse,
                       s.it + 1)
 
@@ -284,7 +299,8 @@ def _icp_chunk(src, tgt, thresh, state, boundary, max_iteration,
             return (st.it < boundary) & (st.it < max_iteration) & ~converged(st)
 
         def body(st: _State):
-            T_new, fitness, rmse = step(st.T_pending)
+            # dead-lane skip: see registration_icp's body.
+            T_new, fitness, rmse = step(st.T_pending, dead=~cond(st))
             return _State(st.T_pending, T_new, fitness, rmse, st.fitness,
                           st.rmse, st.it + 1)
 

@@ -231,32 +231,17 @@ def _box_gap_sq(src_lo, src_hi, dst_lo, dst_hi):
     return jnp.sum(gap * gap, axis=-1)  # (n_tiles, m_tiles)
 
 
-@partial(jax.jit, static_argnames=("interpret", "tile_n", "tile_m"))
-def nearest_neighbor_bounded(
+def _bounded_impl(
     src: jnp.ndarray,
     dst: jnp.ndarray,
     thresh_sq: jnp.ndarray,
-    dst_mask: Optional[jnp.ndarray] = None,
-    interpret: bool = False,
-    tile_n: int = 1024,
-    tile_m: int = 256,
+    dst_mask: Optional[jnp.ndarray],
+    dead: Optional[jnp.ndarray],
+    interpret: bool,
+    tile_n: int,
+    tile_m: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Threshold-bounded NN: ``(min_sq_dist, winner_xyz)`` per src point,
-    EXACT for every src point whose true NN lies within ``thresh_sq``;
-    points farther than the threshold are only guaranteed a distance
-    > ``thresh_sq`` (their winner is unspecified).
-
-    This is the ICP/pose-solve contract: correspondences beyond
-    ``max_correspondence_distance`` carry zero Kabsch weight and are
-    excluded from fitness/inlier-RMSE (`scream_tpu/geometry/icp.py`,
-    Open3D semantics), so their exact distance never matters. The freedom
-    buys tile pruning: voxel-sorted clouds are spatially coherent, so most
-    (src-tile, dst-tile) pairs have bounding boxes farther apart than the
-    threshold and skip the distance tile entirely — the skip matrix is a
-    scalar-prefetch operand and pruned blocks cost one grid step, no VPU
-    work. TPU-only (Mosaic) unless ``interpret=True``; off-TPU callers route
-    to the XLA formulation themselves (``scream_tpu/geometry/icp.py:_nn``).
-    """
+    """Unbatched bounded-NN body (see :func:`nearest_neighbor_bounded`)."""
     n, m = src.shape[0], dst.shape[0]
     n_pad = _round_up(max(n, tile_n), tile_n)
     m_pad = _round_up(max(m, tile_m), tile_m)
@@ -278,7 +263,10 @@ def nearest_neighbor_bounded(
     gap_sq = _box_gap_sq(src_lo, src_hi, dst_lo, dst_hi)
     # STRICT >: a box exactly at the threshold may hold a point exactly at
     # the threshold, whose (still-excluded) distance equals thresh_sq.
-    skip = (gap_sq > jnp.asarray(thresh_sq, jnp.float32)).astype(jnp.int32)
+    skip = gap_sq > jnp.asarray(thresh_sq, jnp.float32)
+    if dead is not None:
+        skip = skip | dead
+    skip = skip.astype(jnp.int32)
 
     grid = (n_pad // tile_n, m_pad // tile_m)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -311,6 +299,297 @@ def nearest_neighbor_bounded(
     idx = jnp.clip(arg_out.reshape(-1)[:n], 0, m - 1)
     coords = dst.astype(jnp.float32)[idx]
     return min_d2, coords
+
+
+def _nn_bounded_batched_kernel(tile_m: int, skip_ref, src_ref, dst_ref,
+                               min_ref, arg_ref):
+    """Batched bounded-NN tile: identical per-tile arithmetic to
+    :func:`_nn_bounded_kernel` (same dot_general shapes, same accumulation
+    order over the fastest ``j`` grid dim), with the lane index as the
+    slowest grid dimension. The batch is folded into the leading axis of the
+    flattened inputs/outputs so every block keeps the proven 2-D layout —
+    a leading size-1 block dim per lane would be a new Mosaic layout risk
+    for zero benefit.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        min_ref[...] = jnp.full(min_ref.shape, 3.0e38, jnp.float32)
+        arg_ref[...] = jnp.zeros(arg_ref.shape, jnp.int32)
+
+    @pl.when(skip_ref[b, i, j] == 0)
+    def _():
+        src = src_ref[...]  # (TILE_N, 3)
+        dst = dst_ref[...]  # (TILE_M, 3)
+        cross = jax.lax.dot_general(
+            dst, src,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d_sq = jnp.sum(dst * dst, axis=1, keepdims=True)
+        s_sq = jnp.sum(src * src, axis=1)[None, :]
+        d2 = d_sq + s_sq - 2.0 * cross  # (TILE_M, TILE_N)
+
+        local_min = jnp.min(d2, axis=0, keepdims=True)  # (1, TILE_N)
+        rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+        local_arg = jnp.min(jnp.where(d2 <= local_min, rows, _BIG_IDX), axis=0,
+                            keepdims=True) + j * tile_m
+
+        tile_n = src.shape[0]
+        sub = tile_n // 128
+        local_min = local_min.reshape(1, sub, 128)
+        local_arg = local_arg.reshape(1, sub, 128)
+        prev_min = min_ref[...]
+        better = local_min < prev_min
+        min_ref[...] = jnp.where(better, local_min, prev_min)
+        arg_ref[...] = jnp.where(better, local_arg, arg_ref[...])
+
+
+def _nn_bounded_batched_fine_kernel(tile_m: int, skip_ref, src_ref,
+                                    dst_ref, min_ref, arg_ref):
+    """Batched bounded-NN tile with SUB-SLAB pruning: inside each live
+    (src-tile, dst-tile) block, each 128-point src sub-slab is guarded by
+    its own skip bit (bit ``k`` of ``skip_ref[b, i, j]``; value 255 = all
+    sub-slabs prune = whole block skipped). The flags are PACKED into one
+    int32 per block because scalar-prefetch operands live in SMEM (1 MB):
+    an unpacked (B, nt, 8, mt) int32 fine matrix alone is 1 MB at B=32.
+
+    Why: the src tile is pinned at 1024 (the (1, TILE_N) -> (1, sub, 128)
+    output relayout is Mosaic-legal only at sub = 8), so on a metric-scale
+    KITTI cloud a src slab spans ~10 m and the coarse box test keeps ~21%
+    of blocks live. The 128-point sub-slab spans ~1.25 m, cutting live VPU
+    work ~3x at identical results — the src axis is never reduced, so
+    sub-slabbing changes neither distances nor argmin tie-breaking.
+
+    Accumulation: each sub-slab owns output row ``k`` of the (1, 8, 128)
+    block — a (1, 1, 128) read-modify-write min, same cross-``j`` semantics
+    as the coarse kernel row-wise.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        min_ref[...] = jnp.full(min_ref.shape, 3.0e38, jnp.float32)
+        arg_ref[...] = jnp.zeros(arg_ref.shape, jnp.int32)
+
+    flags = skip_ref[b, i, j]
+
+    @pl.when(flags != 255)
+    def _():
+        dst = dst_ref[...]  # (TILE_M, 3)
+        d_sq = jnp.sum(dst * dst, axis=1, keepdims=True)  # shared: (TILE_M, 1)
+        for k in range(8):  # static unroll over 128-point src sub-slabs
+            @pl.when(((flags >> k) & 1) == 0)
+            def _(k=k):
+                src_k = src_ref[k * 128:(k + 1) * 128, :]  # (128, 3)
+                cross = jax.lax.dot_general(
+                    dst, src_k,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                s_sq = jnp.sum(src_k * src_k, axis=1)[None, :]  # (1, 128)
+                d2 = d_sq + s_sq - 2.0 * cross  # (TILE_M, 128)
+
+                local_min = jnp.min(d2, axis=0, keepdims=True)  # (1, 128)
+                rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+                local_arg = jnp.min(
+                    jnp.where(d2 <= local_min, rows, _BIG_IDX), axis=0,
+                    keepdims=True) + j * tile_m
+
+                local_min = local_min.reshape(1, 1, 128)
+                local_arg = local_arg.reshape(1, 1, 128)
+                prev_min = min_ref[:, k:k + 1, :]
+                better = local_min < prev_min
+                min_ref[:, k:k + 1, :] = jnp.where(better, local_min, prev_min)
+                arg_ref[:, k:k + 1, :] = jnp.where(better, local_arg,
+                                                   arg_ref[:, k:k + 1, :])
+
+
+def _bounded_batched(
+    src: jnp.ndarray,  # (B, N, 3)
+    dst: jnp.ndarray,  # (B, M, 3)
+    thresh_sq: jnp.ndarray,  # scalar or (B,)
+    dst_mask: Optional[jnp.ndarray],  # (B, M) or None
+    dead: Optional[jnp.ndarray],  # (B,) or None
+    tile_n: int = 1024,
+    tile_m: int = 256,
+    interpret: bool = False,
+    fine: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Natively batched bounded NN: ONE ``pallas_call`` with grid
+    ``(B, n_tiles, m_tiles)``.
+
+    ``jax.vmap`` over the unbatched kernel issues one Mosaic custom call per
+    lane; on the remote v5e each call carries ~0.13 ms of fixed overhead, so
+    an 8-lane vmapped ICP iteration paid ~1.1 ms before any tile work —
+    measured all-dead floors: vmapped 1.45 ms/iter vs 0.88 ms for a single
+    flattened call with 8x the grid steps. Folding the batch into the grid's
+    slowest dimension keeps per-tile arithmetic and accumulation order
+    identical to the unbatched kernel (bit-exact outputs) while paying the
+    call overhead once per batch.
+    """
+    B, n = src.shape[0], src.shape[1]
+    m = dst.shape[1]
+    n_pad = _round_up(max(n, tile_n), tile_n)
+    m_pad = _round_up(max(m, tile_m), tile_m)
+    sub = tile_n // 128
+    nt, mt = n_pad // tile_n, m_pad // tile_m
+
+    src_f = src.astype(jnp.float32)
+    if n_pad > n:
+        # Edge-pad with each lane's last row (keeps last-tile boxes tight).
+        pad = jnp.broadcast_to(src_f[:, -1:], (B, n_pad - n, 3))
+        src_p = jnp.concatenate([src_f, pad], axis=1)
+    else:
+        src_p = src_f
+    dst_f = dst.astype(jnp.float32)
+    if dst_mask is not None:
+        dst_f = jnp.where(dst_mask[..., None], dst_f, FAR)
+    dst_p = jnp.pad(dst_f, ((0, 0), (0, m_pad - m), (0, 0)),
+                    constant_values=FAR)
+
+    dst_lo, dst_hi = jax.vmap(
+        lambda p: _tile_boxes(p, tile_m, far_sentinel=FAR))(dst_p)
+    t = jnp.asarray(thresh_sq, jnp.float32)
+    fine = fine and tile_n == 1024  # 8 x 128 sub-slabs assume tile_n 1024
+    if fine:
+        # Sub-slab (128-point) src boxes; bit k of the packed flag word
+        # prunes sub-slab k, and 255 (all bits set) prunes the whole block
+        # — at least as strong as the coarse box test (tighter boxes), and
+        # consistent by construction with the in-kernel fine guards.
+        f_lo, f_hi = jax.vmap(lambda p: _tile_boxes(p, 128))(src_p)
+        gap_f = jax.vmap(_box_gap_sq)(f_lo, f_hi, dst_lo, dst_hi)
+        skip_f = gap_f > (t[:, None, None] if t.ndim == 1 else t)
+        if dead is not None:
+            skip_f = skip_f | dead[:, None, None]
+        skip_f = skip_f.reshape(B, nt, 8, mt).astype(jnp.int32)
+        weights = jnp.asarray([1 << k for k in range(8)], jnp.int32)
+        skip = jnp.einsum("bnkm,k->bnm", skip_f, weights)
+    else:
+        src_lo, src_hi = jax.vmap(lambda p: _tile_boxes(p, tile_n))(src_p)
+        gap_sq = jax.vmap(_box_gap_sq)(src_lo, src_hi, dst_lo, dst_hi)
+        skip = gap_sq > (t[:, None, None] if t.ndim == 1 else t)
+        if dead is not None:
+            skip = skip | dead[:, None, None]
+        skip = skip.astype(jnp.int32)
+
+    grid = (B, nt, mt)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, 3), lambda b, i, j, *_: (b * nt + i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 3), lambda b, i, j, *_: (b * mt + j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, sub, 128), lambda b, i, j, *_: (b * nt + i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, 128), lambda b, i, j, *_: (b * nt + i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    kernel = (partial(_nn_bounded_batched_fine_kernel, tile_m) if fine
+              else partial(_nn_bounded_batched_kernel, tile_m))
+    operands = (skip, src_p.reshape(B * n_pad, 3),
+                dst_p.reshape(B * m_pad, 3))
+    min_out, arg_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * nt, sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B * nt, sub, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+    min_d2 = jnp.maximum(min_out.reshape(B, -1)[:, :n], 0.0)
+    idx = jnp.clip(arg_out.reshape(B, -1)[:, :n], 0, m - 1)
+    coords = jnp.take_along_axis(dst.astype(jnp.float32), idx[..., None],
+                                 axis=1)
+    return min_d2, coords
+
+
+@jax.custom_batching.custom_vmap
+def _bounded_default(src, dst, thresh_sq, dst_mask, dead):
+    """Default-tile bounded NN whose vmap lowers to ONE batched pallas_call
+    (:func:`_bounded_batched`) instead of per-lane Mosaic custom calls.
+    All args are arrays (the public wrapper normalizes Nones)."""
+    return _bounded_impl(src, dst, thresh_sq, dst_mask, dead,
+                         interpret=False, tile_n=1024, tile_m=256)
+
+
+@_bounded_default.def_vmap
+def _bounded_default_vmap(axis_size, in_batched, src, dst, thresh_sq,
+                          dst_mask, dead):
+    sb, db, tb, mb, xb = in_batched
+
+    def bc(x, b):
+        return x if b else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
+
+    out = _bounded_batched(
+        bc(src, sb), bc(dst, db),
+        thresh_sq if not tb else jnp.asarray(thresh_sq, jnp.float32),
+        bc(dst_mask, mb), bc(dead, xb),
+    )
+    return out, (True, True)
+
+
+@partial(jax.jit, static_argnames=("interpret", "tile_n", "tile_m"))
+def nearest_neighbor_bounded(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    thresh_sq: jnp.ndarray,
+    dst_mask: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+    tile_n: int = 1024,
+    tile_m: int = 256,
+    dead: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Threshold-bounded NN: ``(min_sq_dist, winner_xyz)`` per src point,
+    EXACT for every src point whose true NN lies within ``thresh_sq``;
+    points farther than the threshold are only guaranteed a distance
+    > ``thresh_sq`` (their winner is unspecified).
+
+    This is the ICP/pose-solve contract: correspondences beyond
+    ``max_correspondence_distance`` carry zero Kabsch weight and are
+    excluded from fitness/inlier-RMSE (`scream_tpu/geometry/icp.py`,
+    Open3D semantics), so their exact distance never matters. The freedom
+    buys tile pruning: voxel-sorted clouds are spatially coherent, so most
+    (src-tile, dst-tile) pairs have bounding boxes farther apart than the
+    threshold and skip the distance tile entirely — the skip matrix is a
+    scalar-prefetch operand and pruned blocks cost one grid step, no VPU
+    work. TPU-only (Mosaic) unless ``interpret=True``; off-TPU callers route
+    to the XLA formulation themselves (``scream_tpu/geometry/icp.py:_nn``).
+
+    At default tiles the call is a :func:`jax.custom_vmap`: a caller's
+    ``vmap`` (the batched ICP loop) lowers to ONE grid-(B, n, m) pallas_call
+    (:func:`_bounded_batched`) instead of B per-lane custom calls — per-lane
+    call overhead dominated the vmapped iteration cost (~1.1 of 2.4 ms at
+    8x8192). Non-default tiles / ``interpret`` keep the plain per-lane path.
+
+    ``dead``: optional traced bool scalar that force-skips EVERY tile (all
+    outputs land at the 3e38 sentinel, i.e. "no neighbor in range"). A
+    vmapped ICP ``while_loop`` runs its body for already-converged lanes and
+    discards the result via the per-lane cond select; passing that lane's
+    termination flag here turns its discarded NN pass into pure grid steps
+    (`scream_tpu/geometry/icp.py:_make_icp_fns`).
+    """
+    if not interpret and tile_n == 1024 and tile_m == 256:
+        if dst_mask is None:
+            dst_mask = jnp.ones(dst.shape[:-1], dtype=bool)
+        if dead is None:
+            dead = jnp.asarray(False)
+        return _bounded_default(src, dst, jnp.asarray(thresh_sq, jnp.float32),
+                                dst_mask, dead)
+    return _bounded_impl(src, dst, thresh_sq, dst_mask, dead,
+                         interpret=interpret, tile_n=tile_n, tile_m=tile_m)
 
 
 def nearest_neighbor_auto(

@@ -109,6 +109,7 @@ def run_selftest() -> Dict:
     ])
     T02 = jnp.stack([T0, T0])
     cont = registration_icp_batched(sb2, db2, 0.1, init=T02, max_iteration=12)
+    cont1 = registration_icp_batched(sb2, db2, 0.1, init=T02, max_iteration=1)
     chnk = registration_icp_batched(sb2, db2, 0.1, init=T02, max_iteration=12,
                                     chunk=4)
     out["chunked_icp_transform_max_err"] = float(
@@ -119,6 +120,33 @@ def run_selftest() -> Dict:
     out["chunked_icp_iter_max_diff"] = int(
         jnp.max(jnp.abs(cont.iterations - chnk.iterations))
     )
+    # The vmapped loop lowers to ONE batched bounded-NN pallas_call (the
+    # custom_vmap rule, with dead-lane tile skipping + packed sub-slab
+    # pruning bits) — pin each lane against the UNBATCHED bounded ICP at a
+    # ONE-iteration budget: a packing/indexing/dead-flag bug is orders of
+    # magnitude, while the legitimate batched-vs-unbatched noise floor is
+    # ~2e-7 (vmapped Kabsch/measure reductions compile to different XLA
+    # reduction trees than the unbatched graph; the NN kernel itself is
+    # bit-exact vs XLA either way — measured on-chip). Multi-iteration
+    # trajectories are only sanity-bounded at 2e-2: the ulp-level step noise
+    # can flip one threshold-boundary Kabsch weight, and the two runs then
+    # settle to fixed points ~1/n_inliers apart (~3e-3 here, measured;
+    # 3+ orders below the protocols' RE/TE/RMSE sensitivity).
+    step_err, traj_err, batched_iter_diff = 0.0, 0.0, 0
+    for lane in range(2):
+        one = registration_icp(sb2[lane], db2[lane], 0.1, init=T02[lane],
+                               max_iteration=1)
+        step_err = max(step_err, float(jnp.max(jnp.abs(
+            cont1.transformation[lane] - one.transformation))))
+        per = registration_icp(sb2[lane], db2[lane], 0.1, init=T02[lane],
+                               max_iteration=12)
+        traj_err = max(traj_err, float(jnp.max(jnp.abs(
+            cont.transformation[lane] - per.transformation))))
+        batched_iter_diff = max(batched_iter_diff, abs(
+            int(cont.iterations[lane]) - int(per.iterations)))
+    out["batched_icp_step_max_err"] = step_err
+    out["batched_icp_transform_max_err"] = traj_err
+    out["batched_icp_iter_max_diff"] = batched_iter_diff
 
     # --- splat kernel (compiled, batched) vs the XLA tiled path ---
     sp = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 500, 3)), jnp.float32)
@@ -156,6 +184,9 @@ def run_selftest() -> Dict:
         and out["bounded_icp_transform_max_err"] < 1e-3
         and out["chunked_icp_transform_max_err"] < 1e-4
         and out["chunked_icp_iter_max_diff"] <= 1
+        and out["batched_icp_step_max_err"] < 1e-5
+        and out["batched_icp_transform_max_err"] < 2e-2
+        and out["batched_icp_iter_max_diff"] <= 1
         and out["splat_max_err"] < 1e-4
         and out["splat_grad_rel_err"] < 1e-3
     )

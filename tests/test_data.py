@@ -102,6 +102,30 @@ class TestSynthetic:
         pair = make_pair(rng, 128, 128, overlap=0.0)
         assert pair["src"].shape == (128, 3)
 
+    def test_extent_scales_scene_and_gt_holds(self, rng):
+        """extent=40 yields a KITTI-class ~80 m metric scene (the bench's
+        protocol-selectivity fixture); GT still registers src onto tgt and
+        the whole geometry scales linearly (extent=1 is the historic case)."""
+        pair = make_pair(rng, 256, 256, overlap=1.0, extent=40.0)
+        span = pair["tgt"].max(0) - pair["tgt"].min(0)
+        assert span.max() > 50.0, span
+        T = np.eye(4)
+        T[:3, :3], T[:3, 3:] = pair["rot"], pair["trans"]
+        src_world = _apply(T, pair["src"])
+        d = np.linalg.norm(src_world[:, None] - pair["tgt"][None], axis=-1).min(1)
+        # Median NN residual scales with the scene: 0.2 * extent.
+        assert np.median(d) < 0.2 * 40.0
+        # extent=1 reproduces the historic (pre-knob) geometry bit-for-bit —
+        # the default-arg contract every existing fixture relies on. (The
+        # scene is NOT an exact scale-up across extents: the ground
+        # undulation sin(3*xy) is deliberately phase-true to the metric
+        # frame, like real terrain.)
+        pair_default = make_pair(np.random.default_rng(7), 64, 64, overlap=1.0)
+        pair1 = make_pair(np.random.default_rng(7), 64, 64, overlap=1.0,
+                          extent=1.0)
+        np.testing.assert_array_equal(pair1["src"], pair_default["src"])
+        np.testing.assert_array_equal(pair1["trans"], pair_default["trans"])
+
     def test_dem_patch(self, rng):
         patch = make_dem_patch(rng, 300, 400)
         assert patch["dsm"].shape == (300, 3)

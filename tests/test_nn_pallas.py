@@ -156,3 +156,94 @@ class TestBoundedNN:
             interpret=True)
         assert (np.asarray(d) > 0.01).all()
         assert np.isfinite(np.asarray(xyz)).all()
+
+
+class TestBatchedBoundedNN:
+    """Natively batched bounded NN (`_bounded_batched`): one grid-(B, n, m)
+    pallas_call replacing B per-lane Mosaic calls (per-lane call overhead
+    dominated the vmapped ICP iteration — scream_tpu/ops/nn_pallas.py).
+    Verified in interpret mode against the unbatched impl and the XLA
+    reference; the on-chip trajectory equivalence lives in selftest-tpu."""
+
+    def _batch(self, rng, B=3, n=1500, m=1300, sort=False):
+        src = rng.random((B, n, 3)).astype(np.float32) * 2
+        dst = rng.random((B, m, 3)).astype(np.float32) * 2
+        if sort:  # spatial coherence so pruning (incl. sub-slab bits) fires
+            src = np.take_along_axis(
+                src, np.argsort(src[..., 0], axis=1)[..., None], 1)
+            dst = np.take_along_axis(
+                dst, np.argsort(dst[..., 0], axis=1)[..., None], 1)
+        mask = rng.random((B, m)) > 0.2
+        return src, dst, mask
+
+    def test_coarse_bit_exact_vs_vmapped_unbatched(self, rng):
+        from scream_tpu.ops.nn_pallas import _bounded_batched, _bounded_impl
+
+        src, dst, mask = self._batch(rng)
+        dead = np.array([False, True, False])
+        t = np.float32(0.02)
+        db, xb = _bounded_batched(
+            jnp.asarray(src), jnp.asarray(dst), jnp.float32(t),
+            jnp.asarray(mask), jnp.asarray(dead), interpret=True, fine=False)
+        dv, xv = jax.vmap(lambda s, d, m_, dd: _bounded_impl(
+            s, d, jnp.float32(t), m_, dd, interpret=True,
+            tile_n=1024, tile_m=256))(
+                jnp.asarray(src), jnp.asarray(dst), jnp.asarray(mask),
+                jnp.asarray(dead))
+        np.testing.assert_array_equal(np.asarray(db), np.asarray(dv))
+        np.testing.assert_array_equal(np.asarray(xb), np.asarray(xv))
+        # dead lane: every output lands beyond the bound ("no neighbor").
+        assert (np.asarray(db)[1] > t).all()
+
+    @pytest.mark.parametrize("fine", [False, True])
+    def test_contract_vs_xla_reference(self, rng, fine):
+        """Exact within the threshold, > threshold outside, dead lane all-out
+        — for both the coarse and the bit-packed sub-slab (fine) kernels on
+        spatially sorted clouds where the pruning actually fires."""
+        from scream_tpu.ops.nn_pallas import _bounded_batched
+
+        src, dst, mask = self._batch(rng, sort=True)
+        dead = np.array([False, True, False])
+        t = np.float32(0.02)
+        d, xyz = _bounded_batched(
+            jnp.asarray(src), jnp.asarray(dst), jnp.float32(t),
+            jnp.asarray(mask), jnp.asarray(dead), interpret=True, fine=fine)
+        d, xyz = np.asarray(d), np.asarray(xyz)
+        ref = np.asarray(masked_square_distance(
+            jnp.asarray(src), jnp.asarray(dst), dst_mask=jnp.asarray(mask)))
+        ref_min, ref_arg = ref.min(-1), ref.argmin(-1)
+        for b in (0, 2):  # live lanes
+            inl = ref_min[b] <= t
+            assert inl.sum() > 50, "fixture should produce inliers"
+            np.testing.assert_allclose(d[b][inl], ref_min[b][inl], atol=1e-5)
+            np.testing.assert_array_equal(xyz[b][inl], dst[b][ref_arg[b]][inl])
+            assert (d[b][~inl] > t).all()
+        assert (d[1] > t).all()
+
+    def test_per_lane_threshold(self, rng):
+        from scream_tpu.ops.nn_pallas import _bounded_batched, _bounded_impl
+
+        src, dst, mask = self._batch(rng)
+        tb = np.array([0.02, 0.05, 0.01], np.float32)
+        db, _ = _bounded_batched(jnp.asarray(src), jnp.asarray(dst),
+                                 jnp.asarray(tb), jnp.asarray(mask), None,
+                                 interpret=True)
+        for b in range(3):
+            dv, _ = _bounded_impl(jnp.asarray(src[b]), jnp.asarray(dst[b]),
+                                  jnp.float32(tb[b]), jnp.asarray(mask[b]),
+                                  None, interpret=True, tile_n=1024,
+                                  tile_m=256)
+            np.testing.assert_array_equal(np.asarray(db[b]), np.asarray(dv))
+
+    def test_vmap_routes_to_one_batched_call(self, rng):
+        """A caller's vmap over the public API must lower to ONE pallas_call
+        (the custom_vmap rule), not B per-lane calls — tracing is
+        backend-independent, so the routing is checkable on CPU."""
+        from scream_tpu.ops.nn_pallas import nearest_neighbor_bounded
+
+        src, dst, mask = self._batch(rng, B=4, n=1100, m=900)
+        jaxpr = str(jax.make_jaxpr(jax.vmap(
+            lambda s, d, m_: nearest_neighbor_bounded(
+                s, d, jnp.float32(0.02), m_)))(
+                    jnp.asarray(src), jnp.asarray(dst), jnp.asarray(mask)))
+        assert jaxpr.count("pallas_call") == 1, jaxpr.count("pallas_call")
