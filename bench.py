@@ -16,6 +16,11 @@ workload classes (KITTI-sized clouds, the OpenGF DEM forward, the
 adversarial training step) and prints one JSON line each to stderr.
 ``--breakdown`` adds the step breakdown (forward / solve / ICP shares) and
 an analytic-FLOPs MFU figure at the headline operating point.
+``--roofline`` adds the per-stage forward roofline: analytic FLOPs +
+ideal-fusion HBM bytes per stage, XLA's cost analysis of the compiled
+executable, and the derived memory/compute floors (docs/BENCH.md
+"Forward roofline"; regenerate docs/roofline.json with
+``python bench.py --roofline --write docs/roofline.json``).
 ``--write PATH`` persists every emitted metric to a JSON file
 (regenerate docs/bench_results.json with
 ``python bench.py --suite --breakdown --write docs/bench_results.json``).
@@ -469,8 +474,171 @@ def _forward_flops(n_src, n_tgt, d=256, self_layers=6, cross_layers=6,
     return stems + cross_self + cross_attn + embed + head
 
 
-# TPU v5e peak bf16 matmul throughput (public spec).
+# TPU v5e peak bf16 matmul throughput and HBM bandwidth (public spec:
+# 197 TFLOP/s bf16, 819 GB/s HBM).
 V5E_PEAK_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+def _forward_stage_roofline(n_src, n_tgt, batch, d=256, self_layers=6,
+                            cross_layers=6, heads=8, ffn_mult=4):
+    """Per-stage analytic roofline of the PointTransformer forward.
+
+    For every stage type, sums FLOPs and *ideal-fusion* HBM bytes over all
+    block applications in the net (stems run on src AND tgt; the cross stage
+    alternates self-on-src and cross src<-tgt, `models/point_transformer.py`).
+    "Ideal fusion" charges each activation tensor exactly one HBM read per
+    consumer op-group and one write per producer (bf16 = 2 bytes), weights one
+    fp32 read per layer apply, and assumes every elementwise op (elu feature
+    maps, residual adds, relu, casts) fuses into the adjacent matmul/norm —
+    the best any compiler could do with the FFN hidden (B*N x 4d bf16, too big
+    for VMEM) still round-tripping HBM once.  The resulting per-stage
+    ``floor_ms = max(flops/peak, bytes/bw)`` is a *lower bound*; the gap
+    between the summed floor and the measured forward time is layout/copy
+    overhead XLA actually pays (its own number: ``xla_bytes_accessed``).
+    """
+    hd = d // heads
+    tok = 2  # bf16 activation bytes
+    stages = {}
+
+    def add(name, flops, bytes_):
+        f0, b0 = stages.get(name, (0.0, 0.0))
+        stages[name] = (f0 + flops, b0 + bytes_)
+
+    # (L, S) per block application: 6 stem applies on src, 6 on tgt,
+    # 6 cross-stage self applies on src, 6 cross applies (q=src, kv=tgt).
+    self_apps = ([(n_src, n_src)] * self_layers + [(n_tgt, n_tgt)] * self_layers
+                 + [(n_src, n_src)] * cross_layers)
+    cross_apps = [(n_src, n_tgt)] * cross_layers
+
+    for L, S in self_apps:
+        # fused qkv: read L*d, write 3*L*d, one (d,3d) fp32 weight
+        add("qkv_proj", 6 * d * d * L, (L * d + 3 * L * d) * tok + 3 * d * d * 4)
+    for L, S in cross_apps:
+        # q proj on L + fused kv proj on S
+        add("qkv_proj", 2 * d * d * L + 4 * d * d * S,
+            (2 * L * d + 3 * S * d) * tok + 3 * d * d * 4)
+    for L, S in self_apps + cross_apps:
+        # linear attention: KV = K^T V (2*S*d*hd), Z dot (2*L*d), out = Q KV
+        # (2*L*d*hd); reads Q,K,V, writes out; fp32 KV/K_sum intermediates
+        # are heads*hd*hd*4 ~ 32 KB, negligible.
+        add("attn_einsums", 2 * S * d * hd + 2 * L * d + 2 * L * d * hd,
+            (L * d + 2 * S * d + L * d) * tok)
+        # merge d->d on L
+        add("merge_proj", 2 * d * d * L, 2 * L * d * tok + d * d * 4)
+        # norm1(message + q): reads two L*d tensors, writes one; ~8 flops/elt
+        add("layernorms", 8 * L * d, 3 * L * d * tok)
+        # ffn_in (+relu fused) then ffn_out; hidden round-trips HBM once
+        add("ffn", 4 * ffn_mult * d * d * L,
+            (2 * L * d + 2 * L * ffn_mult * d) * tok + 2 * ffn_mult * d * d * 4)
+        add("layernorms", 8 * L * d, 3 * L * d * tok)
+    # embedding (PE + Dense(3->d) + pre-norm) and the 3-layer coor head
+    add("embed_head",
+        (n_src + n_tgt) * 2 * 3 * d + n_src * (4 * d * d + 2 * 3 * d),
+        ((n_src + n_tgt) * 2 * d + n_src * 3 * d) * tok)
+
+    rows = []
+    for name, (f, b) in stages.items():
+        f, b = f * batch, b * batch
+        t_c = f / V5E_PEAK_BF16_FLOPS
+        t_m = b / V5E_HBM_BYTES_PER_S
+        rows.append({
+            "stage": name,
+            "gflops": round(f / 1e9, 2),
+            "mbytes": round(b / 1e6, 2),
+            "ai_flops_per_byte": round(f / b, 1),
+            "floor_ms": round(max(t_c, t_m) * 1e3, 3),
+            "bound": "compute" if t_c >= t_m else "memory",
+        })
+    rows.sort(key=lambda r: -r["floor_ms"])
+    return rows
+
+
+def roofline():
+    """Quantified roofline for the headline forward (VERDICT r2 item 6).
+
+    Emits: the per-stage analytic table (`_forward_stage_roofline`), XLA's
+    own cost analysis of the compiled executable (flops + bytes accessed),
+    the measured forward time, and the derived floors/ceiling — i.e. whether
+    the observed MFU is a memory bound or residual compiler overhead, and how
+    much each lever could possibly buy.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scream_tpu.config import ModelConfig
+    from scream_tpu.data import PairLoader, SyntheticPairDataset
+    from scream_tpu.models.point_transformer import PointTransformer
+
+    model = PointTransformer(ModelConfig(dtype=DTYPE, norm_dtype=NORM_DTYPE))
+    ds = SyntheticPairDataset(length=BATCH, n_src=N_POINTS - 256,
+                              n_tgt=N_POINTS - 64, seed=5)
+    b0 = {k: jnp.asarray(v) for k, v in next(iter(PairLoader(
+        ds, batch_size=BATCH, src_capacity=N_POINTS,
+        tgt_capacity=N_POINTS))).items()}
+    params = model.init(jax.random.PRNGKey(0), b0["src"], b0["tgt"],
+                        b0["src_mask"], b0["tgt_mask"],
+                        jnp.swapaxes(b0["trans"], -1, -2))["params"]
+    host = np.random.default_rng(11)
+
+    fwd = jax.jit(lambda b: model.apply(
+        {"params": params}, b["src"], b["tgt"], b["src_mask"], b["tgt_mask"],
+        jnp.swapaxes(b["trans"], -1, -2)))
+
+    def perturbed(k):
+        b = dict(b0)
+        b["src"] = b0["src"] + jnp.asarray(
+            host.standard_normal(b0["src"].shape).astype(np.float32) * 1e-4)
+        np.asarray(b["src"])
+        return b
+
+    t_fwd = _timed(fwd, perturbed)
+    flops = _forward_flops(N_POINTS, N_POINTS) * BATCH
+    mfu = flops / t_fwd / V5E_PEAK_BF16_FLOPS
+
+    rows = _forward_stage_roofline(N_POINTS, N_POINTS, BATCH)
+    ideal_bytes = sum(r["mbytes"] for r in rows) * 1e6
+    floor_ms = max(flops / V5E_PEAK_BF16_FLOPS,
+                   ideal_bytes / V5E_HBM_BYTES_PER_S) * 1e3
+    # Sum of per-stage floors is the tighter (non-overlapping-stage) bound.
+    stage_floor_ms = sum(r["floor_ms"] for r in rows)
+    for r in rows:
+        _emit({"metric": "roofline_stage", **r})
+
+    # XLA's own cost model for the whole compiled executable — what the
+    # compiler actually scheduled, copies and materialized layouts included.
+    xla_flops = xla_bytes = None
+    try:
+        ca = fwd.lower(b0).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        xla_flops = float(ca.get("flops", 0.0)) or None
+        xla_bytes = float(ca.get("bytes accessed", 0.0)) or None
+    except Exception as e:  # cost_analysis is backend-dependent
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
+    rec = {
+        "metric": "roofline_forward_summary",
+        "measured_ms": round(t_fwd * 1e3, 2),
+        "measured_mfu_pct": round(mfu * 100.0, 2),
+        "analytic_gflops": round(flops / 1e9, 2),
+        "ideal_fusion_mbytes": round(ideal_bytes / 1e6, 2),
+        "arithmetic_intensity": round(flops / ideal_bytes, 1),
+        "compute_floor_ms": round(flops / V5E_PEAK_BF16_FLOPS * 1e3, 3),
+        "memory_floor_ms": round(ideal_bytes / V5E_HBM_BYTES_PER_S * 1e3, 3),
+        "stage_sum_floor_ms": round(stage_floor_ms, 3),
+        "roofline_max_mfu_pct": round(
+            flops / V5E_PEAK_BF16_FLOPS / (stage_floor_ms / 1e3) * 100.0, 2),
+        "batch": BATCH, "n_points": N_POINTS,
+    }
+    if xla_flops is not None:
+        rec["xla_gflops"] = round(xla_flops / 1e9, 2)
+    if xla_bytes is not None:
+        rec["xla_mbytes_accessed"] = round(xla_bytes / 1e6, 2)
+        rec["xla_memory_floor_ms"] = round(
+            xla_bytes / V5E_HBM_BYTES_PER_S * 1e3, 3)
+    _emit(rec)
 
 
 def breakdown():
@@ -649,12 +817,13 @@ if __name__ == "__main__":
                 sys.exit(2)
             TRACE_DIR = args[i + 1]
             i += 2
-        elif a in ("--suite", "--breakdown"):
+        elif a in ("--suite", "--breakdown", "--roofline"):
             i += 1
         else:
             sys.stderr.write(
                 f"bench.py: unknown argument {a!r} "
-                "(known: --suite --breakdown --write PATH --trace DIR)\n")
+                "(known: --suite --breakdown --roofline --write PATH "
+                "--trace DIR)\n")
             sys.exit(2)
     _probe_backend()
     _start_watchdog(int(os.environ.get("BENCH_WATCHDOG_S", 1200)))
@@ -668,6 +837,10 @@ if __name__ == "__main__":
                 _flush(write_path)
         if "--breakdown" in args:
             breakdown()
+            if write_path is not None:
+                _flush(write_path)
+        if "--roofline" in args:
+            roofline()
     finally:
         if write_path is not None and RESULTS:
             _flush(write_path)

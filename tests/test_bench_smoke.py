@@ -70,6 +70,26 @@ class TestBenchSmoke:
                 "gt_free_serving_pairs_per_sec",
                 "adversarial_train_pairs_per_sec"} <= metrics
 
+    def test_roofline_rows_present(self, monkeypatch, capsys, tmp_path):
+        """--roofline wiring: per-stage rows plus a summary with floors.
+
+        The MFU/floor numbers are v5e-peak-relative, meaningless on the CPU
+        smoke backend — the test only checks structure and internal
+        consistency (stage floors are positive, summary >= compute floor)."""
+        out_path = tmp_path / "bench.json"
+        _run_bench(monkeypatch, capsys, ["--roofline", "--write", str(out_path)])
+        results = json.loads(out_path.read_text())["results"]
+        stages = [r for r in results if r["metric"] == "roofline_stage"]
+        assert {s["stage"] for s in stages} >= {
+            "qkv_proj", "attn_einsums", "merge_proj", "layernorms", "ffn"}
+        assert all(s["floor_ms"] > 0 and s["bound"] in ("compute", "memory")
+                   for s in stages)
+        (summary,) = [r for r in results
+                      if r["metric"] == "roofline_forward_summary"]
+        assert summary["stage_sum_floor_ms"] >= summary["compute_floor_ms"] > 0
+        assert summary["measured_ms"] > 0
+        assert 0 < summary["roofline_max_mfu_pct"] <= 100.0
+
     def test_unknown_flag_rejected_before_measuring(self, monkeypatch, capsys):
         for k, v in SMOKE_ENV.items():
             monkeypatch.setenv(k, v)
