@@ -620,13 +620,14 @@ def cmd_register(args):
     if manifest is not None:
         # Batched serving path: one compile per (capacity, batch) shape,
         # reused across the whole stream; one JSON line per pair. --robust
-        # runs the multi-start search per pair (its seven starts are
-        # batched internally).
+        # runs the multi-start search per pair (its rotation starts
+        # are batched internally).
         if args.robust:
             results = [register_pair_robust(
                 apply_fn, params, s, t,
                 normalize=normalize, dis_thresh=args.dis_thresh,
                 icp_thresh=args.icp_thresh, icp_max_iter=args.icp_max_iter,
+                starts=args.robust_starts,
             ) for s, t in manifest]
         else:
             results = register_pairs(
@@ -652,6 +653,7 @@ def cmd_register(args):
             apply_fn, params, src, tgt,
             normalize=normalize, dis_thresh=args.dis_thresh,
             icp_thresh=args.icp_thresh, icp_max_iter=args.icp_max_iter,
+            starts=args.robust_starts,
         )
     else:
         res = register_pair(
@@ -929,6 +931,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-start + coarse-to-fine search for LARGE "
                         "unknown poses (~20x cost; see "
                         "pipeline.register_pair_robust)")
+    r.add_argument("--robust-starts", choices=("axis7", "oct24", "ico60"),
+                   default="axis7",
+                   help="rotation-seed set for --robust (worst/median "
+                        "residual over random SO(3) poses): axis7 129/69 "
+                        "deg (7 lanes), oct24 62/42 (24 lanes), ico60 "
+                        "44/31 (60 lanes)")
     r.add_argument("--out", default=None,
                    help="save the 4x4 transform here (stacked (P, 4, 4) in "
                         "manifest mode)")

@@ -707,9 +707,23 @@ def register_pairs(
     return best
 
 
-def _rotation_starts() -> list:
-    """Identity + the six 90-degree axis rotations: every SO(3) pose is
-    within ~62 degrees of one of them (vs 180 for identity alone)."""
+def _rotation_starts(kind: str = "axis7") -> list:
+    """Rotation seeds for the multi-start robust search.
+
+    Residual-rotation statistics over uniformly random SO(3) poses
+    (worst case / median distance to the nearest seed, measured over 20k
+    samples — `tests/test_pipeline_register.py` re-checks the bounds):
+
+    * ``"axis7"`` — identity + the six 90-degree axis rotations:
+      129 / 69 degrees. Cheap, and sufficient when poses are moderate
+      (within ~90 degrees of identity the median residual is ~45 degrees).
+    * ``"oct24"`` — the full chiral octahedral group (all 24 proper signed
+      permutation matrices; a superset of axis7): 62 / 42 degrees. Its
+      deep holes are the 60-degree rotations about the cube diagonals.
+    * ``"ico60"`` — the chiral icosahedral group (60 elements, scipy
+      ``Rotation.create_group("I")``): 44 / 31 degrees — full-SO(3)
+      coverage for narrow-basin models, at 60 batched lanes per stage.
+    """
     starts = [np.eye(3, dtype=np.float32)]
     for axis in range(3):
         for sign in (1.0, -1.0):
@@ -720,7 +734,28 @@ def _rotation_starts() -> list:
             R[i, j] = -sign
             R[j, i] = sign
             starts.append(R)
-    return starts
+    if kind == "axis7":
+        return starts
+    if kind == "ico60":
+        from scipy.spatial.transform import Rotation
+
+        return [np.asarray(R, np.float32)
+                for R in Rotation.create_group("I").as_matrix()]
+    if kind != "oct24":
+        raise ValueError(
+            f"unknown rotation-start set {kind!r} "
+            "(expected axis7, oct24 or ico60)")
+    import itertools
+
+    out = []
+    for perm in itertools.permutations(range(3)):
+        for signs in itertools.product((1.0, -1.0), repeat=3):
+            R = np.zeros((3, 3), dtype=np.float32)
+            for row, (col, s) in enumerate(zip(perm, signs)):
+                R[row, col] = s
+            if np.linalg.det(R) > 0.5:
+                out.append(R)
+    return out
 
 
 def _tight_fitness(src_aligned: np.ndarray, tgt: np.ndarray, thresh: float) -> float:
@@ -752,6 +787,7 @@ def register_pair_robust(
     icp_max_iter: int = 30,
     capacity: Optional[int] = None,
     final_icp_max_iter: int = 100,
+    starts: str = "axis7",
 ) -> PairRegistration:
     """GT-free registration hardened for LARGE unknown relative poses.
 
@@ -762,9 +798,13 @@ def register_pair_robust(
     median RE 4.3 deg, vs 0.31/14.4 deg for one plain pass — the same
     quality level the <=30-degree regime measures, docs/EVAL_SNAPSHOT.md):
 
-      1. **Multi-start**: seven coarse rotation seeds (identity + all
-         90-degree axis rotations, each about the source centroid) cap the
-         residual rotation any single attempt must recover at ~62 degrees.
+      1. **Multi-start**: coarse rotation seeds, each about the source
+         centroid, cut the residual rotation any single attempt must
+         recover (worst/median over random SO(3) poses): ``starts="axis7"``
+         (default) 129/69 degrees — median ~45 within the ±90-degree
+         regime; ``"oct24"`` 62/42; ``"ico60"`` 44/31 for models whose
+         recovery basin is narrow or poses drawn from all of SO(3). See
+         :func:`_rotation_starts`.
       2. **Coarse-to-fine iterative re-registration** per seed: one pass
          with the ICP correspondence radius opened to ``3 * icp_thresh``,
          then two composed passes at ``icp_thresh`` (see
@@ -776,11 +816,11 @@ def register_pair_robust(
       4. A final ICP at ``icp_thresh / 2`` (up to ``final_icp_max_iter``
          iterations) polishes the winner.
 
-    Cost: the seven starts run BATCHED — each stage (coarse, fine x2) is one
-    :func:`register_pairs` dispatch of all seven lanes, so the whole search
-    is 3 batched forwards + a final ICP rather than 21 single-pair
-    dispatches. Returns the winner's final-ICP fitness / inlier RMSE (both
-    at the tight radius) in the ORIGINAL input frame.
+    Cost: the starts run BATCHED — each stage (coarse, fine x2) is one
+    :func:`register_pairs` dispatch of all lanes, so the whole search is
+    3 batched forwards + a final ICP rather than ``3 * len(starts)``
+    single-pair dispatches. Returns the winner's final-ICP fitness /
+    inlier RMSE (both at the tight radius) in the ORIGINAL input frame.
     """
     from scream_tpu.geometry.icp import registration_icp
 
@@ -789,9 +829,9 @@ def register_pair_robust(
     c0 = src.mean(axis=0)
     tight = icp_thresh / 2.0
 
-    starts = _rotation_starts()
+    seeds = _rotation_starts(starts)
     Ts = []
-    for R0 in starts:
+    for R0 in seeds:
         T0 = np.eye(4, dtype=np.float32)
         T0[:3, :3] = R0
         T0[:3, 3] = c0 - R0 @ c0
@@ -803,7 +843,7 @@ def register_pair_robust(
             apply_fn, params, [(c, tgt) for c in cur], normalize=normalize,
             dis_thresh=dis_thresh, corr=corr, icp_thresh=thr,
             icp_max_iter=icp_max_iter, capacity=capacity,
-            batch_size=len(starts),
+            batch_size=len(seeds),
         )
         return [r.transform @ T for r, T in zip(res, Ts)], res
 

@@ -30,6 +30,8 @@ def main(argv=None):
     ap.add_argument("--passes", type=int, nargs="+", default=[1, 2, 3],
                     help="register_pair pass counts to sweep; 0 selects "
                     "register_pair_robust (multi-start + coarse-to-fine)")
+    ap.add_argument("--starts", choices=("axis7", "oct24", "ico60"), default="axis7",
+                    help="rotation-seed set for the robust path (passes 0)")
     ap.add_argument("--seed", type=int, default=100)
     ap.add_argument("--noise", type=float, default=0.0)
     ap.add_argument("--overlap", type=float, default=0.7)
@@ -82,7 +84,8 @@ def main(argv=None):
         for pair in pairs:
             if n_passes == 0:
                 out = register_pair_robust(apply_fn, params, pair["src"],
-                                           pair["tgt"], normalize=normalize)
+                                           pair["tgt"], normalize=normalize,
+                                           starts=args.starts)
             else:
                 out = register_pair(apply_fn, params, pair["src"],
                                     pair["tgt"], normalize=normalize,
@@ -98,6 +101,7 @@ def main(argv=None):
         recall = float(np.mean((re_deg <= 15.0) & (te <= 0.3)))
         row = {
             "passes": n_passes,
+            "starts": args.starts if n_passes == 0 else None,
             "median_re_deg": round(float(np.median(re_deg)), 2),
             "median_te": round(float(np.median(te)), 4),
             "recall_re15_te0.3": round(recall, 3),

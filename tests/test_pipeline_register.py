@@ -177,8 +177,10 @@ def _basin_limited_oracle(src, tgt, R, t, basin_deg=70.0):
     predicts the GT-aligned source only when the input pair is already
     within ``basin_deg`` of aligned, and otherwise 'gives up' (returns the
     source unchanged). register_pair cannot recover a pose far outside the
-    basin through such a model; register_pair_robust must (its rotation
-    starts guarantee some seed lands within ~62 degrees of any pose).
+    basin through such a model; register_pair_robust must (for the test
+    poses used here some rotation seed lands inside the basin; the sampled
+    worst/median residuals per seed set are asserted in
+    test_start_sets_proper_unique_and_covering_ladder).
 
     The oracle receives normalized clouds; it reconstructs the frame from
     the FIXED target (tgt rows are identical across calls), un-normalizes
@@ -385,6 +387,76 @@ class TestRegisterPairRobust:
         for R in starts:
             np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
             assert np.linalg.det(R) == pytest.approx(1.0, abs=1e-6)
+
+    def test_start_sets_proper_unique_and_covering_ladder(self):
+        """oct24 = the full chiral octahedral group (24 unique proper
+        rotations, superset of axis7); ico60 = the icosahedral group.
+        Re-checks the docstring's sampled covering-radius ladder:
+        axis7 ~129 deg > oct24 ~62 deg > ico60 ~44 deg."""
+        from scream_tpu.pipeline.register import _rotation_starts
+
+        oct24 = _rotation_starts("oct24")
+        ico60 = _rotation_starts("ico60")
+        assert len(oct24) == 24 and len(ico60) == 60
+        for R in oct24 + ico60:
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+            assert np.linalg.det(R) == pytest.approx(1.0, abs=1e-5)
+        uniq = {tuple(np.rint(R).astype(int).ravel()) for R in oct24}
+        assert len(uniq) == 24
+        axis7 = {tuple(np.rint(R).astype(int).ravel())
+                 for R in _rotation_starts("axis7")}
+        assert axis7 <= uniq
+
+        def covering_deg(starts, samples):
+            best = np.full(len(samples), 180.0)
+            for R in starts:
+                tr = np.einsum("ij,nij->n", R, samples)
+                ang = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1, 1)))
+                best = np.minimum(best, ang)
+            return float(best.max())
+
+        from scipy.spatial.transform import Rotation
+
+        samples = Rotation.random(4000, random_state=3).as_matrix()
+        cov7 = covering_deg(_rotation_starts("axis7"), samples)
+        cov24 = covering_deg(oct24, samples)
+        cov60 = covering_deg(ico60, samples)
+        assert cov60 < 46.0 < cov24 < 64.0 < cov7 <= 130.0
+
+        with pytest.raises(ValueError, match="rotation-start"):
+            _rotation_starts("icosahedral")
+
+    def test_oct24_recovers_narrow_basin_where_axis7_cannot(self):
+        """A 150-degree-about-z pose through a 45-degree-basin model: the
+        nearest axis7 seed (90 degrees about z) leaves a 60-degree residual
+        — outside the basin, every axis7 lane gives up — while oct24's
+        180-degree-about-z element leaves only 30 degrees."""
+        from scream_tpu.pipeline import register_pair_robust
+
+        rng = np.random.default_rng(11)
+        scene = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+        src = scene[rng.choice(300, 180, replace=False)]
+        a = np.deg2rad(150.0)
+        R = np.array([[np.cos(a), -np.sin(a), 0.0],
+                      [np.sin(a), np.cos(a), 0.0],
+                      [0.0, 0.0, 1.0]], np.float32)
+        t = np.array([0.05, -0.1, 0.15], np.float32)
+        tgt = (scene[rng.choice(300, 200, replace=False)] @ R.T + t).astype(
+            np.float32)
+        oracle = _basin_limited_oracle(src, tgt, R, t, basin_deg=45.0)
+
+        def angle_to_gt(res):
+            return np.rad2deg(np.arccos(np.clip(
+                (np.trace(res.transform[:3, :3] @ R.T) - 1.0) / 2.0, -1, 1)))
+
+        seven = register_pair_robust(oracle, None, src, tgt,
+                                     corr="src_pred", dis_thresh=10.0)
+        oct_ = register_pair_robust(oracle, None, src, tgt,
+                                    corr="src_pred", dis_thresh=10.0,
+                                    starts="oct24")
+        assert angle_to_gt(seven) > 30.0  # no axis7 seed lands in the basin
+        assert angle_to_gt(oct_) < 10.0
+        np.testing.assert_allclose(oct_.transform[:3, 3], t, atol=0.1)
 
     def test_recovers_large_pose_where_plain_fails(self):
         """A 120-degree pose through a 70-degree-basin model: plain
