@@ -494,6 +494,7 @@ def cmd_register(args):
         register_pair,
         register_pair_robust,
         register_pairs,
+        register_pairs_robust,
     )
     from scream_tpu.utils.checkpoint import load_params
 
@@ -620,15 +621,15 @@ def cmd_register(args):
     if manifest is not None:
         # Batched serving path: one compile per (capacity, batch) shape,
         # reused across the whole stream; one JSON line per pair. --robust
-        # runs the multi-start search per pair (its rotation starts
-        # are batched internally).
+        # batches the multi-start search across the whole manifest
+        # (pairs x seeds lanes: 3 forward stages total, not per pair).
         if args.robust:
-            results = [register_pair_robust(
-                apply_fn, params, s, t,
+            results = register_pairs_robust(
+                apply_fn, params, manifest,
                 normalize=normalize, dis_thresh=args.dis_thresh,
                 icp_thresh=args.icp_thresh, icp_max_iter=args.icp_max_iter,
                 starts=args.robust_starts,
-            ) for s, t in manifest]
+            )
         else:
             results = register_pairs(
                 apply_fn, params, manifest,

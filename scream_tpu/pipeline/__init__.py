@@ -18,6 +18,7 @@ from scream_tpu.pipeline.register import (
     register_pair,
     register_pair_robust,
     register_pairs,
+    register_pairs_robust,
     solve_pose,
 )
 
@@ -37,5 +38,6 @@ __all__ = [
     "register_pair",
     "register_pair_robust",
     "register_pairs",
+    "register_pairs_robust",
     "solve_pose",
 ]

@@ -25,7 +25,7 @@ Faithful protocol details (each easy to get silently wrong, SURVEY.md §7):
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Dict, NamedTuple, Optional
+from typing import Callable, Dict, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -821,29 +821,92 @@ def register_pair_robust(
     3 batched forwards + a final ICP rather than ``3 * len(starts)``
     single-pair dispatches. Returns the winner's final-ICP fitness /
     inlier RMSE (both at the tight radius) in the ORIGINAL input frame.
+
+    Implemented as the one-pair case of :func:`register_pairs_robust`
+    (never fork the two — same CLAUDE.md rule as the chunked ICP).
     """
+    return register_pairs_robust(
+        apply_fn, params, [(src, tgt)], normalize=normalize,
+        dis_thresh=dis_thresh, corr=corr, icp_thresh=icp_thresh,
+        icp_max_iter=icp_max_iter, capacity=capacity,
+        final_icp_max_iter=final_icp_max_iter, starts=starts,
+    )[0]
+
+
+def register_pairs_robust(
+    apply_fn: Callable,
+    params,
+    pairs: Sequence,
+    normalize: str = "unit_sphere",
+    dis_thresh: float = 0.1,
+    corr: str = "tgt",
+    icp_thresh: float = 0.1,
+    icp_max_iter: int = 30,
+    capacity: Optional[int] = None,
+    final_icp_max_iter: int = 100,
+    starts: str = "axis7",
+    batch_size: Optional[int] = None,
+) -> list:
+    """Robust multi-start search over MANY pairs — batched robust serving.
+
+    The search of :func:`register_pair_robust` with the lane axis carrying
+    ``pairs x starts``: each coarse/fine stage is a :func:`register_pairs`
+    call over every (pair, seed) lane, so a whole ``--manifest --robust``
+    stream costs 3 batched forward stages + one final ICP per pair instead
+    of 3 stages *per pair*. Per-pair semantics (seed frames, coarse-to-fine
+    gates, tight-threshold ranking, final polish ICP) are those of
+    :func:`register_pair_robust` — which is implemented as the one-pair
+    case of this function, so the two cannot drift.
+
+    Args:
+      batch_size: lanes per forward dispatch. Defaults to
+        ``len(seeds) * min(len(pairs), max(1, 120 // len(seeds)))`` — whole
+        seed groups per dispatch, capped near 120 lanes so an ico60
+        manifest does not compile a monster batch; for a single pair this
+        is exactly ``len(seeds)``, preserving register_pair_robust's
+        historical dispatch shape (and jit cache).
+
+    Host-side cost note: candidate ranking (`_tight_fitness`) runs
+    ``len(pairs) * len(seeds)`` chunked NN scorings on the host — a few ms
+    per lane at serving cloud sizes.
+
+    Returns a list of :class:`PairRegistration` in input order (transforms
+    in each pair's ORIGINAL input frame).
+    """
+    from scream_tpu.data.batching import pad_cloud
     from scream_tpu.geometry.icp import registration_icp
 
-    src = np.asarray(src, np.float32)
-    tgt = np.asarray(tgt, np.float32)
-    c0 = src.mean(axis=0)
-    tight = icp_thresh / 2.0
-
+    pairs = [(np.asarray(s, np.float32), np.asarray(t, np.float32))
+             for s, t in pairs]
+    if not pairs:
+        return []
     seeds = _rotation_starts(starts)
+    S, P = len(seeds), len(pairs)
+    tight = icp_thresh / 2.0
+    bs = batch_size or S * min(P, max(1, 120 // S))
+
+    # Lane layout: lane p * S + k carries pair p under seed k, each seed
+    # rotation taken about that pair's source centroid.
     Ts = []
-    for R0 in seeds:
-        T0 = np.eye(4, dtype=np.float32)
-        T0[:3, :3] = R0
-        T0[:3, 3] = c0 - R0 @ c0
-        Ts.append(T0)
+    for src, _ in pairs:
+        c0 = src.mean(axis=0)
+        for R0 in seeds:
+            T0 = np.eye(4, dtype=np.float32)
+            T0[:3, :3] = R0
+            T0[:3, 3] = c0 - R0 @ c0
+            Ts.append(T0)
 
     def batched_pass(Ts, thr):
-        cur = [(src @ T[:3, :3].T + T[:3, 3]).astype(np.float32) for T in Ts]
+        cur = [
+            (pairs[i // S][0] @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+            for i, T in enumerate(Ts)
+        ]
         res = register_pairs(
-            apply_fn, params, [(c, tgt) for c in cur], normalize=normalize,
-            dis_thresh=dis_thresh, corr=corr, icp_thresh=thr,
-            icp_max_iter=icp_max_iter, capacity=capacity,
-            batch_size=len(seeds),
+            apply_fn, params,
+            [(c, pairs[i // S][1]) for i, c in enumerate(cur)],
+            normalize=normalize, dis_thresh=dis_thresh, corr=corr,
+            icp_thresh=thr, icp_max_iter=icp_max_iter, capacity=capacity,
+            batch_size=bs,
         )
         return [r.transform @ T for r, T in zip(res, Ts)], res
 
@@ -859,31 +922,33 @@ def register_pair_robust(
             r2.fitness == r1.fitness and r2.inlier_rmse < r1.inlier_rmse)
         lanes.append((T2, r2.n_corr) if take2 else (T1, r1.n_corr))
 
-    best: Optional[tuple] = None
-    for T, n_corr in lanes:
-        src_f = src @ T[:3, :3].T + T[:3, 3]
-        score = _tight_fitness(src_f, tgt, tight)
-        if best is None or score > best[0]:
-            best = (score, T, n_corr)
+    out = []
+    for p, (src, tgt) in enumerate(pairs):
+        best: Optional[tuple] = None
+        for T, n_corr in lanes[p * S:(p + 1) * S]:
+            src_f = src @ T[:3, :3].T + T[:3, 3]
+            score = _tight_fitness(src_f, tgt, tight)
+            if best is None or score > best[0]:
+                best = (score, T, n_corr)
 
-    _, T, n_corr = best
-    src_w = (src @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
-    # Pad to the training bucket ladder: raw (N, M) shapes would compile a
-    # fresh ICP executable per distinct cloud-size pair in a manifest
-    # stream, while every other stage reuses one compile per bucket.
-    from scream_tpu.data.batching import pad_cloud
-
-    cap = capacity or _default_capacity(max(len(src_w), len(tgt)))
-    src_p, src_m = pad_cloud(src_w, cap)
-    tgt_p, tgt_m = pad_cloud(tgt, cap)
-    fin = registration_icp(
-        jnp.asarray(src_p), jnp.asarray(tgt_p), tight,
-        init=jnp.eye(4, dtype=jnp.float32), max_iteration=final_icp_max_iter,
-        src_mask=jnp.asarray(src_m), tgt_mask=jnp.asarray(tgt_m),
-    )
-    return PairRegistration(
-        transform=np.asarray(fin.transformation) @ T,
-        fitness=float(fin.fitness),
-        inlier_rmse=float(fin.inlier_rmse),
-        n_corr=int(n_corr),
-    )
+        _, T, n_corr = best
+        src_w = (src @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+        # Pad to the training bucket ladder: raw (N, M) shapes would compile
+        # a fresh ICP executable per distinct cloud-size pair in a manifest
+        # stream, while every other stage reuses one compile per bucket.
+        cap = capacity or _default_capacity(max(len(src_w), len(tgt)))
+        src_p, src_m = pad_cloud(src_w, cap)
+        tgt_p, tgt_m = pad_cloud(tgt, cap)
+        fin = registration_icp(
+            jnp.asarray(src_p), jnp.asarray(tgt_p), tight,
+            init=jnp.eye(4, dtype=jnp.float32),
+            max_iteration=final_icp_max_iter,
+            src_mask=jnp.asarray(src_m), tgt_mask=jnp.asarray(tgt_m),
+        )
+        out.append(PairRegistration(
+            transform=np.asarray(fin.transformation) @ T,
+            fitness=float(fin.fitness),
+            inlier_rmse=float(fin.inlier_rmse),
+            n_corr=int(n_corr),
+        ))
+    return out

@@ -335,6 +335,33 @@ class TestRegisterCLI:
         np.testing.assert_allclose(
             saved, np.stack([np.asarray(r["transform"]) for r in rows]))
 
+    def test_register_manifest_robust_batched(self, capsys, tmp_path):
+        """`register --manifest --robust --robust-starts oct24`: the whole
+        manifest runs through register_pairs_robust (pairs x seeds lanes),
+        same per-pair JSON contract as plain manifest mode."""
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        lines = []
+        for k in range(2):
+            s = rng.uniform(-1, 1, (80 + 8 * k, 3)).astype(np.float32)
+            np.save(tmp_path / f"s{k}.npy", s)
+            np.save(tmp_path / f"t{k}.npy", s + np.float32([0.02, 0.0, 0.0]))
+            lines.append(f"{tmp_path}/s{k}.npy {tmp_path}/t{k}.npy")
+        (tmp_path / "pairs.txt").write_text("\n".join(lines) + "\n")
+
+        main(["register", "--manifest", str(tmp_path / "pairs.txt"),
+              "--robust", "--robust-starts", "oct24",
+              "--d-model", "32", "--self-layers", "1", "--cross-layers", "1",
+              "--dtype", "float32"])
+        rows = [json.loads(l) for l in
+                capsys.readouterr().out.strip().splitlines()]
+        assert [r["pair"] for r in rows] == [0, 1]
+        for r in rows:
+            T = np.asarray(r["transform"])
+            assert T.shape == (4, 4) and np.isfinite(T).all()
+            assert 0.0 <= r["fitness"] <= 1.0
+
     def test_register_manifest_mesh_sharded(self, capsys, tmp_path):
         """`register --manifest --mesh data=2`: the serving dispatch shards
         over the data axis; same output contract as the unsharded path."""

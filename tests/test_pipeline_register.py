@@ -458,6 +458,45 @@ class TestRegisterPairRobust:
         assert angle_to_gt(oct_) < 10.0
         np.testing.assert_allclose(oct_.transform[:3, 3], t, atol=0.1)
 
+    def test_pairs_robust_batches_manifest(self):
+        """register_pairs_robust over a 2-pair manifest recovers both pairs
+        and matches the single-pair wrapper on the same clouds — the wrapper
+        IS the one-pair case, so this checks the multi-pair lane layout
+        (pair p seeds at lanes p*S..(p+1)*S) and per-pair ranking."""
+        from scream_tpu.pipeline import (register_pair_robust,
+                                         register_pairs_robust)
+
+        rng = np.random.default_rng(5)
+        scene = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+        src = scene[rng.choice(300, 180, replace=False)]
+        a = np.deg2rad(120.0)
+        R = np.array([[np.cos(a), -np.sin(a), 0.0],
+                      [np.sin(a), np.cos(a), 0.0],
+                      [0.0, 0.0, 1.0]], np.float32)
+        t = np.array([0.1, -0.05, 0.2], np.float32)
+        tgt = (scene[rng.choice(300, 200, replace=False)] @ R.T + t).astype(
+            np.float32)
+        oracle = _basin_limited_oracle(src, tgt, R, t)
+
+        # Two copies of the same pair: the oracle reconstructs its frame
+        # from the fixed tgt, so every lane of either pair is served.
+        batched = register_pairs_robust(oracle, None, [(src, tgt)] * 2,
+                                        corr="src_pred", dis_thresh=10.0)
+        single = register_pair_robust(oracle, None, src, tgt,
+                                      corr="src_pred", dis_thresh=10.0)
+        assert len(batched) == 2
+        for res in batched:
+            ang = np.rad2deg(np.arccos(np.clip(
+                (np.trace(res.transform[:3, :3] @ R.T) - 1.0) / 2.0, -1, 1)))
+            assert ang < 10.0
+            np.testing.assert_allclose(res.transform[:3, 3], t, atol=0.1)
+            # Identical-content lanes through a different batch shape: allow
+            # only vmapped-reduction fp noise (CLAUDE.md batched-ICP caveat).
+            np.testing.assert_allclose(res.transform, single.transform,
+                                       atol=2e-2)
+        np.testing.assert_allclose(batched[0].transform,
+                                   batched[1].transform, atol=1e-6)
+
     def test_recovers_large_pose_where_plain_fails(self):
         """A 120-degree pose through a 70-degree-basin model: plain
         register_pair stays lost, the robust search recovers it."""
