@@ -150,6 +150,9 @@ def cmd_train(args):
     model_cfg, train_cfg, data_cfg, eval_cfg = TASKS[args.task]()
     model_cfg = _apply_model_overrides(model_cfg, args)
     mesh = _parse_mesh(args)
+    if mesh is not None:
+        # GSPMD cannot auto-partition the fused tail's Mosaic custom call.
+        model_cfg = dataclasses.replace(model_cfg, fused_block_tail=False)
     if mesh is not None and args.batch_size is None:
         # A sensible default: keep the reference per-device batch of 8.
         args.batch_size = 8 * mesh.shape["data"]
@@ -310,6 +313,9 @@ def cmd_evaluate(args):
             raise SystemExit(f"--icp-chunk must be >= 1, got {args.icp_chunk}")
     model_cfg = _apply_model_overrides(model_cfg, args)
     mesh = _parse_mesh(args)
+    if mesh is not None:
+        # GSPMD cannot auto-partition the fused tail's Mosaic custom call.
+        model_cfg = dataclasses.replace(model_cfg, fused_block_tail=False)
     if args.max_points:
         data_cfg = dataclasses.replace(data_cfg, max_points=args.max_points)
     split, normalize = EVAL_SPLITS[args.protocol]
@@ -580,6 +586,9 @@ def cmd_register(args):
             model_cfg = dataclasses.replace(model_cfg, **side)
     normalize = normalize or "unit_sphere"
     model_cfg = _apply_model_overrides(model_cfg, args)
+    if mesh is not None:
+        # GSPMD cannot auto-partition the fused tail's Mosaic custom call.
+        model_cfg = dataclasses.replace(model_cfg, fused_block_tail=False)
     model = PointTransformer(model_cfg)
     z = jnp.zeros((1, 8, 3), jnp.float32)
     init = model.init(jax.random.PRNGKey(0), z, z,

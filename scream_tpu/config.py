@@ -35,6 +35,11 @@ class ModelConfig:
     norm_dtype: str = "float32"
     separate_stems: bool = False  # True for the DEM (OpenGF) variant
     remat: bool = False  # rematerialize attention blocks during training
+    # Fused Pallas block-tail kernel (merge+LN+FFN+LN in VMEM, see
+    # ops/ffn_pallas.py). None = auto by default backend and shape. Forced
+    # False under --mesh (GSPMD cannot auto-partition Mosaic custom calls)
+    # and when compiling for CPU devices while a TPU backend is registered.
+    fused_block_tail: Optional[bool] = None
 
     @property
     def compute_dtype(self):

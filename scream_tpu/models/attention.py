@@ -118,6 +118,23 @@ class _ProjKernel(nn.Module):
         )
 
 
+class _NormParams(nn.Module):
+    """LayerNorm scale/bias with the same ``{name: {"scale", "bias"}}``
+    param layout (fp32, ones/zeros init) as ``nn.LayerNorm`` — the raw
+    params feed the fused block-tail kernel (`ops/ffn_pallas.py`), whose
+    XLA fallback reproduces flax's LayerNorm math op-for-op."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        g = self.param("scale", nn.initializers.ones, (self.features,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return g, b
+
+
 class AttentionBlock(nn.Module):
     """MHA block: q/k/v projections -> linear attention -> merge -> FFN.
 
@@ -133,6 +150,13 @@ class AttentionBlock(nn.Module):
     instead of three times; concatenating the kernels costs one tiny
     ``(d, 3d)`` copy. Same math per output element, so it is numerically
     identical to three separate Dense calls.
+
+    The block tail (merge -> +q -> LN -> FFN -> +q -> LN) runs as one fused
+    Pallas kernel on TPU (``fused_tail``, see `ops/ffn_pallas.py`): the FFN
+    hidden and both LayerNorm operands stay in VMEM instead of round-tripping
+    HBM. ``fused_tail=None`` auto-selects by backend and shape; pass False
+    for GSPMD-sharded applies (Mosaic custom calls cannot be
+    auto-partitioned) — the fallback is the identical unfused XLA graph.
     """
 
     d_model: int
@@ -140,18 +164,11 @@ class AttentionBlock(nn.Module):
     ffn_mult: int = 4
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
+    fused_tail: Optional[bool] = None
 
     @nn.compact
     def __call__(self, q, k, v, q_mask=None, kv_mask=None):
         head_dim = self.d_model // self.num_heads
-        dense = lambda name: nn.Dense(
-            self.d_model,
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=nn.initializers.xavier_uniform(),
-            name=name,
-        )
         B, L = q.shape[0], q.shape[1]
         S = k.shape[1]
 
@@ -176,23 +193,23 @@ class AttentionBlock(nn.Module):
         value = value.reshape(B, S, self.num_heads, head_dim)
 
         message = linear_attention(query, key, value, q_mask, kv_mask)
-        message = dense("merge")(message.reshape(B, L, self.d_model))
-        # Norms default to fp32 for numerical stability under bf16 compute;
-        # norm_dtype=bfloat16 halves their HBM traffic (the norms are the
-        # forward pass's largest memory consumer) at slightly reduced
-        # statistics precision.
-        message = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, name="norm1")(message + q).astype(self.dtype)
 
-        ffn = nn.Dense(
-            self.d_model * self.ffn_mult, use_bias=False, dtype=self.dtype,
-            param_dtype=jnp.float32, kernel_init=nn.initializers.xavier_uniform(),
-            name="ffn_in",
-        )(message)
-        ffn = nn.relu(ffn)
-        ffn = nn.Dense(
-            self.d_model, use_bias=False, dtype=self.dtype,
-            param_dtype=jnp.float32, kernel_init=nn.initializers.xavier_uniform(),
-            name="ffn_out",
-        )(ffn)
-        out = nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype, name="norm2")(q + ffn).astype(self.dtype)
-        return out
+        # Block tail as raw params + one call (fused Pallas kernel on TPU,
+        # the identical unfused XLA body elsewhere). Param names/shapes are
+        # exactly the old nn.Dense/nn.LayerNorm layout, so checkpoints, the
+        # .pth converter and the TP column/row specs are unchanged. Norms
+        # default to fp32 stats for numerical stability under bf16 compute.
+        from scream_tpu.ops.ffn_pallas import block_tail
+
+        Wm = _ProjKernel(self.d_model, name="merge")(self.d_model)
+        g1, b1 = _NormParams(self.d_model, name="norm1")()
+        W1 = _ProjKernel(self.d_model * self.ffn_mult,
+                         name="ffn_in")(self.d_model)
+        W2 = _ProjKernel(self.d_model,
+                         name="ffn_out")(self.d_model * self.ffn_mult)
+        g2, b2 = _NormParams(self.d_model, name="norm2")()
+        return block_tail(
+            message.reshape(B, L, self.d_model), q, Wm, g1, b1, W1, W2,
+            g2, b2, dtype=self.dtype, norm_dtype=self.norm_dtype,
+            use_pallas=self.fused_tail,
+        )

@@ -59,7 +59,8 @@ class _Trunk(nn.Module):
         Block = nn.remat(AttentionBlock) if cfg.remat else AttentionBlock
         block = lambda name: Block(
             cfg.d_model, cfg.num_heads, cfg.ffn_mult, dtype=dt,
-            norm_dtype=cfg.norm_compute_dtype, name=name
+            norm_dtype=cfg.norm_compute_dtype,
+            fused_tail=cfg.fused_block_tail, name=name
         )
 
         # Self-attention stems. PointTransformer shares one stack between both

@@ -124,6 +124,12 @@ class RegistrationTrainer:
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.mesh = mesh
+        if mesh is not None:
+            # GSPMD cannot auto-partition the fused block-tail Mosaic custom
+            # call inside a sharded step (same constraint as the splat/NN
+            # kernels below); the unfused XLA tail is byte-identical math.
+            model_cfg = dataclasses.replace(
+                model_cfg, fused_block_tail=False)
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.eval_cfg = eval_cfg
@@ -421,6 +427,10 @@ class DEMTrainer:
         self.val_loader = val_loader
         self.mesh = mesh
         self.sample_img_dir = sample_img_dir
+        if mesh is not None:
+            # Same Mosaic-under-GSPMD constraint as RegistrationTrainer.
+            model_cfg = dataclasses.replace(
+                model_cfg, fused_block_tail=False)
         self.model = DEMTransformer(model_cfg)
         # DEM validation reports only chamfer/height_mae; the generic
         # TrainConfig default ("point_loss") would KeyError at the end of the
