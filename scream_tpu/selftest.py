@@ -173,6 +173,42 @@ def run_selftest() -> Dict:
     out["splat_grad_scale"] = grad_scale
     out["splat_grad_rel_err"] = out["splat_grad_max_err"] / max(grad_scale, 1e-30)
 
+    # --- fused block-tail kernel (compiled, bf16) vs the unfused XLA body ---
+    # The Mosaic kernel's fp32-accumulated matmuls and fp32 LN stats mirror
+    # the unfused path cast-for-cast; residual error is bf16 elementwise
+    # rounding under different op orders. Compare in the bf16 value scale.
+    from scream_tpu.ops.ffn_pallas import _make_block_tail
+
+    d_m, hid = 256, 1024
+    xt = jnp.asarray(rng.standard_normal((2, 512, d_m)), jnp.bfloat16)
+    qt = jnp.asarray(rng.standard_normal((2, 512, d_m)), jnp.bfloat16)
+    wargs = (
+        jnp.asarray(rng.standard_normal((d_m, d_m)) / 16, jnp.float32),
+        jnp.asarray(rng.uniform(0.5, 1.5, (d_m,)), jnp.float32),
+        jnp.asarray(rng.standard_normal((d_m,)) * 0.1, jnp.float32),
+        jnp.asarray(rng.standard_normal((d_m, hid)) / 16, jnp.float32),
+        jnp.asarray(rng.standard_normal((hid, d_m)) / 32, jnp.float32),
+        jnp.asarray(rng.uniform(0.5, 1.5, (d_m,)), jnp.float32),
+        jnp.asarray(rng.standard_normal((d_m,)) * 0.1, jnp.float32),
+    )
+    tail_f = _make_block_tail("bfloat16", "float32", 1e-5, True, False)
+    tail_x = _make_block_tail("bfloat16", "float32", 1e-5, False, False)
+    tf32 = tail_f(xt, qt, *wargs).astype(jnp.float32)
+    tx32 = tail_x(xt, qt, *wargs).astype(jnp.float32)
+    tail_scale = float(jnp.max(jnp.abs(tx32)))
+    out["fused_tail_max_err"] = float(jnp.max(jnp.abs(tf32 - tx32)))
+    out["fused_tail_rel_err"] = out["fused_tail_max_err"] / max(
+        tail_scale, 1e-30)
+    # Gradient parity: the custom_vjp bwd is the XLA vjp over saved primals,
+    # so only the forward residuals differ (bf16 rounding).
+    gt_f = jax.grad(lambda a: jnp.sum(
+        jnp.square(tail_f(a, qt, *wargs).astype(jnp.float32))))(xt)
+    gt_x = jax.grad(lambda a: jnp.sum(
+        jnp.square(tail_x(a, qt, *wargs).astype(jnp.float32))))(xt)
+    gt_scale = float(jnp.max(jnp.abs(gt_x.astype(jnp.float32))))
+    out["fused_tail_grad_rel_err"] = float(jnp.max(jnp.abs(
+        (gt_f - gt_x).astype(jnp.float32)))) / max(gt_scale, 1e-30)
+
     out["ok"] = (
         nn_dist_err < 1e-4
         and nn_idx_mismatch == 0
@@ -189,6 +225,8 @@ def run_selftest() -> Dict:
         and out["batched_icp_iter_max_diff"] <= 1
         and out["splat_max_err"] < 1e-4
         and out["splat_grad_rel_err"] < 1e-3
+        and out["fused_tail_rel_err"] < 3e-2
+        and out["fused_tail_grad_rel_err"] < 3e-2
     )
     return out
 
