@@ -24,8 +24,22 @@ assert len(jax.devices()) == 8, "8-device virtual CPU mesh required for sharding
 
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: the suite is compile-bound on CPU, so cache
-# executables across pytest runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/scream_tpu_jax_cache")
+# executables across pytest runs. The cache dir is keyed by the HOST'S CPU
+# feature set: the container migrates between machines, and XLA:CPU AOT
+# results compiled with features the current host lacks (e.g.
+# prefer-no-scatter) load with a "could lead to SIGILL" warning and have
+# crashed full-suite runs mid-file. A feature-keyed dir makes a migrated
+# session start a fresh cache instead of executing foreign code.
+import hashlib  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _feats = next((l for l in _f if l.startswith("flags")), "")
+except OSError:  # non-Linux fallback: platform string only
+    _feats = ""
+_host_key = hashlib.sha256(_feats.encode()).hexdigest()[:12]
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/scream_tpu_jax_cache_{_host_key}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
