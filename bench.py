@@ -59,7 +59,10 @@ def _start_watchdog(budget_s: int):
     def run():
         while True:
             time.sleep(30)
-            idle = time.time() - _PROGRESS[0]
+            last = _PROGRESS[0]
+            if last is None:
+                return  # disarmed: the bench run completed
+            idle = time.time() - last
             if idle > budget_s:
                 rec = {
                     "error": "stalled",
@@ -875,5 +878,12 @@ if __name__ == "__main__":
         if "--roofline" in args:
             roofline()
     finally:
+        # Disarm the watchdog: its os._exit(4) must only fire while a bench
+        # is actually in flight. In-process runs (the smoke tests execute
+        # this file via runpy inside pytest) would otherwise leave a daemon
+        # thread that hard-kills the HOST process ~budget_s later — which
+        # took out full test-suite runs on hosts slow enough that the suite
+        # outlived the 20-min budget.
+        _PROGRESS[0] = None
         if write_path is not None and RESULTS:
             _flush(write_path)

@@ -90,6 +90,18 @@ class TestBenchSmoke:
         assert summary["measured_ms"] > 0
         assert 0 < summary["roofline_max_mfu_pct"] <= 100.0
 
+    def test_watchdog_disarmed_after_run(self, monkeypatch, capsys):
+        """The stall watchdog must be disarmed once the run completes: its
+        thread hard-exits the HOST process (os._exit(4)), and these smoke
+        tests execute bench.py inside the pytest process — a still-armed
+        watchdog killed full suite runs ~20 min in on slow hosts."""
+        for k, v in SMOKE_ENV.items():
+            monkeypatch.setenv(k, v)
+        monkeypatch.setattr(sys, "argv", ["bench.py"])
+        ns = runpy.run_path("bench.py", run_name="__main__")
+        capsys.readouterr()
+        assert ns["_PROGRESS"][0] is None  # disarmed in the __main__ finally
+
     def test_unknown_flag_rejected_before_measuring(self, monkeypatch, capsys):
         for k, v in SMOKE_ENV.items():
             monkeypatch.setenv(k, v)
