@@ -20,6 +20,10 @@ import os
 import sys
 import time
 
+# Runnable as `python scripts/measure_gt_free.py` from anywhere: sys.path[0]
+# is scripts/, so put the repo root (the scream_tpu package parent) on it.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
