@@ -151,8 +151,9 @@ def cmd_train(args):
     model_cfg = _apply_model_overrides(model_cfg, args)
     mesh = _parse_mesh(args)
     if mesh is not None:
-        # GSPMD cannot auto-partition the fused tail's Mosaic custom call.
-        model_cfg = dataclasses.replace(model_cfg, fused_block_tail=False)
+        # GSPMD cannot auto-partition the fused kernels' Mosaic custom calls.
+        model_cfg = dataclasses.replace(model_cfg, fused_block_tail=False,
+                                        fused_attention=False)
     if mesh is not None and args.batch_size is None:
         # A sensible default: keep the reference per-device batch of 8.
         args.batch_size = 8 * mesh.shape["data"]
@@ -314,8 +315,9 @@ def cmd_evaluate(args):
     model_cfg = _apply_model_overrides(model_cfg, args)
     mesh = _parse_mesh(args)
     if mesh is not None:
-        # GSPMD cannot auto-partition the fused tail's Mosaic custom call.
-        model_cfg = dataclasses.replace(model_cfg, fused_block_tail=False)
+        # GSPMD cannot auto-partition the fused kernels' Mosaic custom calls.
+        model_cfg = dataclasses.replace(model_cfg, fused_block_tail=False,
+                                        fused_attention=False)
     if args.max_points:
         data_cfg = dataclasses.replace(data_cfg, max_points=args.max_points)
     split, normalize = EVAL_SPLITS[args.protocol]
@@ -587,8 +589,9 @@ def cmd_register(args):
     normalize = normalize or "unit_sphere"
     model_cfg = _apply_model_overrides(model_cfg, args)
     if mesh is not None:
-        # GSPMD cannot auto-partition the fused tail's Mosaic custom call.
-        model_cfg = dataclasses.replace(model_cfg, fused_block_tail=False)
+        # GSPMD cannot auto-partition the fused kernels' Mosaic custom calls.
+        model_cfg = dataclasses.replace(model_cfg, fused_block_tail=False,
+                                        fused_attention=False)
     model = PointTransformer(model_cfg)
     z = jnp.zeros((1, 8, 3), jnp.float32)
     init = model.init(jax.random.PRNGKey(0), z, z,

@@ -40,6 +40,10 @@ class ModelConfig:
     # False under --mesh (GSPMD cannot auto-partition Mosaic custom calls)
     # and when compiling for CPU devices while a TPU backend is registered.
     fused_block_tail: Optional[bool] = None
+    # Fused Pallas attention block (projections + linear attention + tail in
+    # two kernels, see ops/attn_pallas.py). Same auto/off semantics as
+    # fused_block_tail; when it fires it subsumes the tail kernel.
+    fused_attention: Optional[bool] = None
 
     @property
     def compute_dtype(self):

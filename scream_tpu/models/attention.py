@@ -165,6 +165,7 @@ class AttentionBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
     fused_tail: Optional[bool] = None
+    fused_attn: Optional[bool] = None
 
     @nn.compact
     def __call__(self, q, k, v, q_mask=None, kv_mask=None):
@@ -178,7 +179,40 @@ class AttentionBlock(nn.Module):
         Wq = _ProjKernel(self.d_model, name="q_proj")(q.shape[-1])
         Wk = _ProjKernel(self.d_model, name="k_proj")(k.shape[-1])
         Wv = _ProjKernel(self.d_model, name="v_proj")(v.shape[-1])
+        Wm = _ProjKernel(self.d_model, name="merge")(self.d_model)
+        g1, b1 = _NormParams(self.d_model, name="norm1")()
+        W1 = _ProjKernel(self.d_model * self.ffn_mult,
+                         name="ffn_in")(self.d_model)
+        W2 = _ProjKernel(self.d_model,
+                         name="ffn_out")(self.d_model * self.ffn_mult)
+        g2, b2 = _NormParams(self.d_model, name="norm2")()
         mm = lambda x, W: x.astype(self.dtype) @ W.astype(self.dtype)
+
+        # Whole-block fusion (ops/attn_pallas.py): projections + linear
+        # attention + the tail in two Pallas kernels. Applies when k and v
+        # are the same traced array (self-attention, or cross attention with
+        # a shared k/v source — every call site in this package), which is
+        # what the fused stats kernel projects from. The branch is a
+        # trace-time constant, so init/apply see one consistent param tree.
+        from scream_tpu.ops import attn_pallas
+
+        use_fused_attn = self.fused_attn
+        if use_fused_attn is None:
+            import jax as _jax
+
+            use_fused_attn = (
+                _jax.default_backend() == "tpu"
+                and attn_pallas.fusable_block(
+                    self.d_model, self.d_model * self.ffn_mult,
+                    self.num_heads, self.dtype)
+            )
+        if use_fused_attn and (v is k) and q.shape[-1] == self.d_model \
+                and k.shape[-1] == self.d_model:
+            return attn_pallas.attention_block(
+                q, k, q_mask, kv_mask, Wq, Wk, Wv, Wm, g1, b1, W1, W2,
+                g2, b2, num_heads=self.num_heads, dtype=self.dtype,
+                norm_dtype=self.norm_dtype, use_pallas=self.fused_attn,
+            )
         if (k is q) and (v is q):
             qkv = mm(q, jnp.concatenate([Wq, Wk, Wv], axis=1))
             query, key, value = jnp.split(qkv, 3, axis=-1)
@@ -201,13 +235,6 @@ class AttentionBlock(nn.Module):
         # default to fp32 stats for numerical stability under bf16 compute.
         from scream_tpu.ops.ffn_pallas import block_tail
 
-        Wm = _ProjKernel(self.d_model, name="merge")(self.d_model)
-        g1, b1 = _NormParams(self.d_model, name="norm1")()
-        W1 = _ProjKernel(self.d_model * self.ffn_mult,
-                         name="ffn_in")(self.d_model)
-        W2 = _ProjKernel(self.d_model,
-                         name="ffn_out")(self.d_model * self.ffn_mult)
-        g2, b2 = _NormParams(self.d_model, name="norm2")()
         return block_tail(
             message.reshape(B, L, self.d_model), q, Wm, g1, b1, W1, W2,
             g2, b2, dtype=self.dtype, norm_dtype=self.norm_dtype,

@@ -60,7 +60,8 @@ class _Trunk(nn.Module):
         block = lambda name: Block(
             cfg.d_model, cfg.num_heads, cfg.ffn_mult, dtype=dt,
             norm_dtype=cfg.norm_compute_dtype,
-            fused_tail=cfg.fused_block_tail, name=name
+            fused_tail=cfg.fused_block_tail,
+            fused_attn=cfg.fused_attention, name=name
         )
 
         # Self-attention stems. PointTransformer shares one stack between both
