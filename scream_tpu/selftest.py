@@ -209,6 +209,53 @@ def run_selftest() -> Dict:
     out["fused_tail_grad_rel_err"] = float(jnp.max(jnp.abs(
         (gt_f - gt_x).astype(jnp.float32)))) / max(gt_scale, 1e-30)
 
+    # --- fused attention-block kernels (compiled, bf16) vs the XLA body ---
+    # Whole AttentionBlock in two Pallas kernels (ops/attn_pallas.py): the
+    # stats kernel's KV accumulation + the apply kernel's masked-KV contract
+    # + tail. Masked rows exercise the padded-tile path; the bwd is the XLA
+    # vjp over saved primals so the gradient check gates the same forward
+    # residual plus the custom_vjp plumbing.
+    from scream_tpu.ops.attn_pallas import attention_block
+
+    xa = jnp.asarray(rng.standard_normal((2, 500, d_m)) * 0.1, jnp.float32)
+    xb = jnp.asarray(rng.standard_normal((2, 300, d_m)) * 0.1, jnp.float32)
+    qm = jnp.asarray(rng.random((2, 500)) > 0.15)
+    km = jnp.asarray(rng.random((2, 300)) > 0.15)
+    aw = (
+        jnp.asarray(rng.standard_normal((d_m, d_m)) / 16, jnp.float32),  # Wq
+        jnp.asarray(rng.standard_normal((d_m, d_m)) / 16, jnp.float32),  # Wk
+        jnp.asarray(rng.standard_normal((d_m, d_m)) / 16, jnp.float32),  # Wv
+        wargs[0], wargs[1], wargs[2], wargs[3], wargs[4], wargs[5],
+        wargs[6],
+    )
+    blk = lambda flag: attention_block(
+        xa, xb, qm, km, *aw[:4], aw[4], aw[5], aw[6], aw[7], aw[8], aw[9],
+        num_heads=8, dtype=jnp.bfloat16, norm_dtype=jnp.float32,
+        use_pallas=flag)
+    qmask3 = qm[..., None]
+    af = jnp.where(qmask3, blk(True).astype(jnp.float32), 0.0)
+    ax = jnp.where(qmask3, blk(False).astype(jnp.float32), 0.0)
+    attn_scale = float(jnp.max(jnp.abs(ax)))
+    out["fused_attn_max_err"] = float(jnp.max(jnp.abs(af - ax)))
+    out["fused_attn_rel_err"] = out["fused_attn_max_err"] / max(
+        attn_scale, 1e-30)
+    proj = jnp.asarray(rng.standard_normal(xa.shape), jnp.float32)
+
+    def attn_loss(flag):
+        return lambda x: jnp.sum(jnp.where(
+            qmask3,
+            attention_block(x, xb, qm, km, *aw[:4], aw[4], aw[5], aw[6],
+                            aw[7], aw[8], aw[9], num_heads=8,
+                            dtype=jnp.bfloat16, norm_dtype=jnp.float32,
+                            use_pallas=flag).astype(jnp.float32) * proj,
+            0.0))
+
+    ga_f = jax.grad(attn_loss(True))(xa)
+    ga_x = jax.grad(attn_loss(False))(xa)
+    ga_scale = float(jnp.max(jnp.abs(ga_x)))
+    out["fused_attn_grad_rel_err"] = float(jnp.max(jnp.abs(ga_f - ga_x))) \
+        / max(ga_scale, 1e-30)
+
     out["ok"] = (
         nn_dist_err < 1e-4
         and nn_idx_mismatch == 0
@@ -227,6 +274,8 @@ def run_selftest() -> Dict:
         and out["splat_grad_rel_err"] < 1e-3
         and out["fused_tail_rel_err"] < 3e-2
         and out["fused_tail_grad_rel_err"] < 3e-2
+        and out["fused_attn_rel_err"] < 5e-2
+        and out["fused_attn_grad_rel_err"] < 5e-2
     )
     return out
 
