@@ -146,14 +146,26 @@ def _parse_mesh(args):
     return parse_mesh_spec(spec)
 
 
+def _disable_unpartitionable_fusion(model_cfg, mesh):
+    """Keep the fused Pallas kernels on for data-only meshes (their batch-dim
+    custom_partitioning runs the kernel per shard — `ops/partitioning.py`);
+    seq/model-sharded applies take the unfused XLA graph GSPMD can
+    propagate through."""
+    if mesh is None:
+        return model_cfg
+    from scream_tpu.parallel import is_data_only
+
+    if is_data_only(mesh):
+        return model_cfg
+    return dataclasses.replace(model_cfg, fused_block_tail=False,
+                               fused_attention=False)
+
+
 def cmd_train(args):
     model_cfg, train_cfg, data_cfg, eval_cfg = TASKS[args.task]()
     model_cfg = _apply_model_overrides(model_cfg, args)
     mesh = _parse_mesh(args)
-    if mesh is not None:
-        # GSPMD cannot auto-partition the fused kernels' Mosaic custom calls.
-        model_cfg = dataclasses.replace(model_cfg, fused_block_tail=False,
-                                        fused_attention=False)
+    model_cfg = _disable_unpartitionable_fusion(model_cfg, mesh)
     if mesh is not None and args.batch_size is None:
         # A sensible default: keep the reference per-device batch of 8.
         args.batch_size = 8 * mesh.shape["data"]
@@ -314,10 +326,7 @@ def cmd_evaluate(args):
             raise SystemExit(f"--icp-chunk must be >= 1, got {args.icp_chunk}")
     model_cfg = _apply_model_overrides(model_cfg, args)
     mesh = _parse_mesh(args)
-    if mesh is not None:
-        # GSPMD cannot auto-partition the fused kernels' Mosaic custom calls.
-        model_cfg = dataclasses.replace(model_cfg, fused_block_tail=False,
-                                        fused_attention=False)
+    model_cfg = _disable_unpartitionable_fusion(model_cfg, mesh)
     if args.max_points:
         data_cfg = dataclasses.replace(data_cfg, max_points=args.max_points)
     split, normalize = EVAL_SPLITS[args.protocol]
@@ -588,10 +597,7 @@ def cmd_register(args):
             model_cfg = dataclasses.replace(model_cfg, **side)
     normalize = normalize or "unit_sphere"
     model_cfg = _apply_model_overrides(model_cfg, args)
-    if mesh is not None:
-        # GSPMD cannot auto-partition the fused kernels' Mosaic custom calls.
-        model_cfg = dataclasses.replace(model_cfg, fused_block_tail=False,
-                                        fused_attention=False)
+    model_cfg = _disable_unpartitionable_fusion(model_cfg, mesh)
     model = PointTransformer(model_cfg)
     z = jnp.zeros((1, 8, 3), jnp.float32)
     init = model.init(jax.random.PRNGKey(0), z, z,

@@ -36,9 +36,10 @@ class ModelConfig:
     separate_stems: bool = False  # True for the DEM (OpenGF) variant
     remat: bool = False  # rematerialize attention blocks during training
     # Fused Pallas block-tail kernel (merge+LN+FFN+LN in VMEM, see
-    # ops/ffn_pallas.py). None = auto by default backend and shape. Forced
-    # False under --mesh (GSPMD cannot auto-partition Mosaic custom calls)
-    # and when compiling for CPU devices while a TPU backend is registered.
+    # ops/ffn_pallas.py). None = auto by default backend and shape. Data-only
+    # meshes keep the kernel per shard (batch-dim custom_partitioning,
+    # ops/partitioning.py); forced False for seq/model-sharded meshes and
+    # when compiling for CPU devices while a TPU backend is registered.
     fused_block_tail: Optional[bool] = None
     # Fused Pallas attention block (projections + linear attention + tail in
     # two kernels, see ops/attn_pallas.py). Same auto/off semantics as

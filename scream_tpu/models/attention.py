@@ -154,9 +154,10 @@ class AttentionBlock(nn.Module):
     The block tail (merge -> +q -> LN -> FFN -> +q -> LN) runs as one fused
     Pallas kernel on TPU (``fused_tail``, see `ops/ffn_pallas.py`): the FFN
     hidden and both LayerNorm operands stay in VMEM instead of round-tripping
-    HBM. ``fused_tail=None`` auto-selects by backend and shape; pass False
-    for GSPMD-sharded applies (Mosaic custom calls cannot be
-    auto-partitioned) — the fallback is the identical unfused XLA graph.
+    HBM. ``fused_tail=None`` auto-selects by backend and shape; batch-sharded
+    meshes keep the kernel per shard (`ops/partitioning.py`) — pass False
+    for seq/model-sharded applies, where the fallback is the identical
+    unfused XLA graph.
     """
 
     d_model: int

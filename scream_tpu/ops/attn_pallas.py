@@ -42,8 +42,10 @@ Backward: ``jax.custom_vjp`` whose bwd is the XLA vjp of the unfused body
 projections/attention/hidden rematerialize in the backward,
 ``jax.checkpoint``-style, so training keeps the forward's traffic win.
 
-Off-TPU and under GSPMD (``--mesh``) the caller keeps the unfused flax path
-(`models/attention.py`), exactly as for the fused tail.
+Off-TPU the caller keeps the unfused flax path (`models/attention.py`).
+Under a data-sharded mesh both kernels run per shard via a batch-dim
+``custom_partitioning`` (`ops/partitioning.py`); only seq/model sharding
+needs the unfused fallback, exactly as for the fused tail.
 """
 
 from __future__ import annotations
@@ -303,13 +305,30 @@ def _make_attention_block(num_heads: int, cd_name: str, nd_name: str,
         return partial(_block_xla, **kw)
 
     impl = partial(_attention_block_pallas, interpret=interpret, **kw)
+    # Batch-dim SPMD partitioning (see ops/partitioning.py): under a
+    # data-sharded mesh both kernels run per-shard instead of forcing the
+    # unfused fallback; inside shard_map the raw impl is used.
+    from scream_tpu.ops.partitioning import batch_partitioned
+
+    impl_sp = batch_partitioned(
+        impl,
+        operand_mappings=(
+            ("b", "l", "d"), ("b", "s", "dk"), ("b", "l"), ("b", "s"),
+            ("wq1", "wq2"), ("wk1", "wk2"), ("wv1", "wv2"), ("wm1", "wm2"),
+            ("g1",), ("b1",), ("w11", "w12"), ("w21", "w22"),
+            ("g2",), ("b2",),
+        ),
+        result_mapping=("b", "l", "d"),
+        batch_operands=(0, 1, 2, 3),
+    )
 
     @jax.custom_vjp
     def blk(xq, xkv, qm, km, Wq, Wk, Wv, Wm, g1, b1, W1, W2, g2, b2):
-        return impl(xq, xkv, qm, km, Wq, Wk, Wv, Wm, g1, b1, W1, W2, g2, b2)
+        return impl_sp(xq, xkv, qm, km, Wq, Wk, Wv, Wm, g1, b1, W1, W2, g2,
+                       b2)
 
     def blk_fwd(*args):
-        return impl(*args), args
+        return impl_sp(*args), args
 
     def blk_bwd(res, g):
         _, vjp = jax.vjp(lambda *a: _block_xla(*a, **kw), *res)

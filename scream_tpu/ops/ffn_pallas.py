@@ -27,10 +27,11 @@ unfused body over the saved primals — i.e. the hidden is rematerialized in
 the backward, ``jax.checkpoint``-style, so training keeps the forward's
 traffic win at the cost of recomputing one FFN.
 
-Off-TPU callers and GSPMD-sharded applies (``--mesh``: XLA cannot
-auto-partition Mosaic custom calls) take ``use_pallas=False`` and get the
-plain XLA body with flax's native autodiff — byte-identical behavior to the
-pre-fusion module composition.
+Off-TPU callers take ``use_pallas=False`` and get the plain XLA body with
+flax's native autodiff — byte-identical behavior to the pre-fusion module
+composition. Under a data-sharded mesh the kernel runs per shard via a
+batch-dim ``custom_partitioning`` (`ops/partitioning.py`); only seq/model
+sharding needs the unfused fallback.
 """
 
 from __future__ import annotations
@@ -165,13 +166,28 @@ def _make_block_tail(cd_name: str, nd_name: str, eps: float, fused: bool,
         return partial(_tail_xla, **kw)
 
     impl = partial(_tail_pallas, interpret=interpret, **kw)
+    # Batch-dim SPMD partitioning (see ops/partitioning.py): under a
+    # data-sharded mesh the kernel runs per-shard instead of forcing the
+    # unfused fallback; inside shard_map the raw impl is used.
+    from scream_tpu.ops.partitioning import batch_partitioned
+
+    impl_sp = batch_partitioned(
+        impl,
+        operand_mappings=(
+            ("b", "l", "d"), ("b", "l", "d"), ("wm1", "wm2"),
+            ("g1",), ("b1",), ("w11", "w12"), ("w21", "w22"),
+            ("g2",), ("b2",),
+        ),
+        result_mapping=("b", "l", "d"),
+        batch_operands=(0, 1),
+    )
 
     @jax.custom_vjp
     def tail(x, q, Wm, g1, b1, W1, W2, g2, b2):
-        return impl(x, q, Wm, g1, b1, W1, W2, g2, b2)
+        return impl_sp(x, q, Wm, g1, b1, W1, W2, g2, b2)
 
     def tail_fwd(*args):
-        return impl(*args), args
+        return impl_sp(*args), args
 
     def tail_bwd(res, g):
         _, vjp = jax.vjp(lambda *a: _tail_xla(*a, **kw), *res)
@@ -203,7 +219,9 @@ def block_tail(x, q, Wm, g1, b1, W1, W2, g2, b2, *, dtype, norm_dtype,
       g1, b1 / g2, b2: LayerNorm scale/bias for norm1 / norm2.
       use_pallas: True = fused Pallas kernel, False = unfused XLA body,
         None = auto (fused iff the default backend is TPU and the shape
-        passes :func:`fusable`). Pass False for GSPMD-sharded applies.
+        passes :func:`fusable`). Batch-dim-sharded meshes keep the kernel
+        (per-shard via custom_partitioning); pass False for seq/model
+        sharding.
       interpret: run the Pallas kernel in interpreter mode (CPU tests).
 
     Returns ``(B, L, d)`` in ``dtype``.

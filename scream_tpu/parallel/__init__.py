@@ -3,6 +3,7 @@ expert parallelism (the reference has none of these — SURVEY.md §2.5)."""
 
 from scream_tpu.parallel.mesh import (
     batch_sharding,
+    is_data_only,
     make_mesh,
     parse_mesh_spec,
     replicate,
@@ -39,6 +40,7 @@ from scream_tpu.parallel.ep import (
 __all__ = [
     "batch_sharding",
     "make_mesh",
+    "is_data_only",
     "parse_mesh_spec",
     "replicate",
     "replicated",

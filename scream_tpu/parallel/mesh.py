@@ -102,6 +102,15 @@ def parse_mesh_spec(spec: str, devices: Optional[Sequence] = None) -> Mesh:
                      devices=devices)
 
 
+def is_data_only(mesh: Mesh) -> bool:
+    """True when every non-``data`` axis has size 1 — the mesh shards only
+    the pair batch. The fused Pallas kernels stay enabled for such meshes
+    (their batch-dim ``custom_partitioning`` runs the kernel per shard, see
+    `scream_tpu/ops/partitioning.py`); any seq/model sharding falls back to
+    the unfused XLA graph, which GSPMD can propagate through."""
+    return all(n == 1 for name, n in mesh.shape.items() if name != "data")
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the ``data`` mesh axis."""
     return NamedSharding(mesh, P("data"))

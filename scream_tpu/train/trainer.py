@@ -125,11 +125,17 @@ class RegistrationTrainer:
         self.val_loader = val_loader
         self.mesh = mesh
         if mesh is not None:
-            # GSPMD cannot auto-partition the fused block-tail Mosaic custom
-            # call inside a sharded step (same constraint as the splat/NN
-            # kernels below); the unfused XLA tail is byte-identical math.
-            model_cfg = dataclasses.replace(
-                model_cfg, fused_block_tail=False)
+            from scream_tpu.parallel import is_data_only
+
+            if not is_data_only(mesh):
+                # Data-only meshes keep the fused kernels (their batch-dim
+                # custom_partitioning runs them per shard —
+                # `ops/partitioning.py`); a sharded seq axis falls back to
+                # the unfused XLA graph, byte-identical math GSPMD can
+                # propagate through.
+                model_cfg = dataclasses.replace(
+                    model_cfg, fused_block_tail=False,
+                    fused_attention=False)
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.eval_cfg = eval_cfg
@@ -428,9 +434,13 @@ class DEMTrainer:
         self.mesh = mesh
         self.sample_img_dir = sample_img_dir
         if mesh is not None:
-            # Same Mosaic-under-GSPMD constraint as RegistrationTrainer.
-            model_cfg = dataclasses.replace(
-                model_cfg, fused_block_tail=False)
+            from scream_tpu.parallel import is_data_only
+
+            if not is_data_only(mesh):
+                # Same data-only-mesh fusion policy as RegistrationTrainer.
+                model_cfg = dataclasses.replace(
+                    model_cfg, fused_block_tail=False,
+                    fused_attention=False)
         self.model = DEMTransformer(model_cfg)
         # DEM validation reports only chamfer/height_mae; the generic
         # TrainConfig default ("point_loss") would KeyError at the end of the
