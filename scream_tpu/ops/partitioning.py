@@ -68,6 +68,12 @@ def batch_partitioned(
     Returns a callable with impl's signature that runs per-shard under an
     SPMD mesh (batch sharded, everything else replicated), and falls back to
     the raw impl inside shard_map.
+
+    Not ``jax.vmap``-able: ``custom_partitioning`` has no batching rule, so
+    the wrapper (which is on the plain single-chip path too) rejects a
+    mapped axis. Callers must flatten extra batch dims into the one leading
+    batch axis first — the same contract the underlying ``pallas_call``
+    already imposes (CLAUDE.md's nested-vmap Pallas rule).
     """
     def _body(*args):
         # custom_partitioning resolves the wrapped callable's signature; a

@@ -79,7 +79,10 @@ class TestBlockTailPartitioned:
         assert out.sharding.spec[0] == "data"
         # ...the kernel ran per shard without gathering the activations...
         hlo = jf.lower(*sargs).compile().as_text()
-        assert "all-gather" not in hlo
+        # Forced resharding can also surface as all-reduce or
+        # collective-permute, not just all-gather — assert none appear.
+        for coll in ("all-gather", "all-reduce", "collective-permute"):
+            assert coll not in hlo
         # ...and the result is the exact unsharded op (fp32 interpret path
         # is bit-identical to the XLA body here).
         np.testing.assert_allclose(np.asarray(out), np.asarray(want),
@@ -126,7 +129,10 @@ class TestAttentionBlockPartitioned:
         out = jf(*sargs)
         assert out.sharding.spec[0] == "data"
         hlo = jf.lower(*sargs).compile().as_text()
-        assert "all-gather" not in hlo
+        # Forced resharding can also surface as all-reduce or
+        # collective-permute, not just all-gather — assert none appear.
+        for coll in ("all-gather", "all-reduce", "collective-permute"):
+            assert coll not in hlo
         # fp32 configs keep fp32 KV — only benign reduction-order noise.
         np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                    atol=1e-4)
