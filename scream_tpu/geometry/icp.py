@@ -87,22 +87,32 @@ def _nn(src_t, tgt, tgt_mask, thresh_sq=None, force_xla=False, dead=None):
     return d[0], xyz[0]
 
 
-def _spatial_sort(pts, mask, span_axis: int = 0):
-    """Sort points along one axis (masked rows last) — once per ICP call.
+def _spatial_sort(pts, mask, axis_dir: Optional[jnp.ndarray] = None):
+    """Sort points along one direction (masked rows last) — once per ICP call.
 
     The threshold-bounded NN kernel prunes (src-tile, dst-tile) pairs by
     bounding-box distance; that only bites when tiles are spatially compact.
-    Real preprocessed clouds already are (voxel downsampling emits
-    key-sorted order), synthetic/user clouds may not be. One sort before the
-    loop covers every iteration: a rigid transform maps near points to near
-    points, so a fixed spatially-coherent order stays coherent under the
-    per-iteration transforms. A single-axis sort is enough — it makes every
-    tile a thin slab along that axis, which is what the box-gap test
-    resolves (a full 3-key voxel lexsort costs 3 TPU sort passes for no
-    extra pruning at tile granularity). All downstream consumers (Kabsch
-    sums, fitness/RMSE, the returned transform) are permutation-invariant.
+    A single-direction sort is enough — it makes every tile a thin slab
+    normal to that direction, which is what the box-gap test resolves (a
+    full 3-key voxel lexsort costs 3 TPU sort passes for no extra pruning
+    at tile granularity). All downstream consumers (Kabsch sums,
+    fitness/RMSE, the returned transform) are permutation-invariant.
+
+    ``axis_dir``: the direction (3,) whose projection is the sort key; None
+    means the x-axis. THE DIRECTION MUST BE CHOSEN IN THE FRAME THE KERNEL
+    SEES. The kernel tiles ``src @ T^T``, not ``src``: under a large init
+    rotation an x-thin src slab becomes a diagonal sheet whose axis-aligned
+    bounding box spans the whole cloud, and pruning collapses — measured
+    57% live sub-slabs at the 3DMatch operating point vs 21% when src is
+    sorted by its coordinate along the init-rotated axis
+    (``src @ R_init[0]``, i.e. thin in x AFTER the transform; the
+    translation shifts every key equally and cannot change the order).
+    One sort before the loop still covers every iteration: ICP past a
+    Kabsch init refines by a few degrees, which fattens the slabs
+    negligibly. tgt never transforms, so it sorts by plain x.
     """
-    key = jnp.where(mask, pts[:, span_axis], jnp.float32(3e38))
+    key = pts[:, 0] if axis_dir is None else pts @ axis_dir
+    key = jnp.where(mask, key, jnp.float32(3e38))
     order = jnp.argsort(key)
     return pts[order], mask[order]
 
@@ -229,9 +239,12 @@ def registration_icp(
     thresh_sq = thresh ** 2
 
     if _use_bounded_nn(force_xla):
-        # Feed the bounded NN kernel spatially-coherent tiles (see
+        # Feed the bounded NN kernel spatially-coherent tiles IN THE FRAME
+        # IT SEES: src is tiled after the per-iteration transform, so its
+        # sort key is the projection onto the init-rotated x-axis (see
         # _spatial_sort).
-        src, src_mask = _spatial_sort(src, src_mask)
+        src, src_mask = _spatial_sort(src, src_mask,
+                                      axis_dir=init[0, :3].astype(jnp.float32))
         tgt, tgt_mask = _spatial_sort(tgt, tgt_mask)
 
     step, _converged, measure = _make_icp_fns(
@@ -401,8 +414,10 @@ def registration_icp_batched(
     tgt = tgt.astype(jnp.float32)
     thresh = jnp.asarray(max_correspondence_distance, jnp.float32)
     if _use_bounded_nn(force_xla):
-        src, src_mask = jax.vmap(_spatial_sort)(src, src_mask)
-        tgt, tgt_mask = jax.vmap(_spatial_sort)(tgt, tgt_mask)
+        src, src_mask = jax.vmap(_spatial_sort)(
+            src, src_mask, jnp.asarray(init, jnp.float32)[:, 0, :3])
+        tgt, tgt_mask = jax.vmap(lambda p, m: _spatial_sort(p, m))(
+            tgt, tgt_mask)
 
     rf = jnp.float32(relative_fitness)
     rr = jnp.float32(relative_rmse)

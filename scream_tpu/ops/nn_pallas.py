@@ -5,11 +5,15 @@ The NN search is the framework's hottest op: the pose solve does one per pair
 (`scream_tpu/geometry/icp.py` — 30+ per pair). The XLA formulation
 materializes the N x M squared-distance matrix in HBM and then min-reduces
 it; this kernel keeps each distance tile in VMEM and accumulates a running
-(min, argmin) into tile-sized outputs. The winning point's coordinates are
-then fetched with one ``dst[idx]`` gather on the result — an in-kernel
-one-hot winner-coordinate accumulator was tried and removed: it doubled
-VMEM pressure and cost ~40% end-to-end throughput (see
-``nearest_neighbor_pallas``).
+(min, argmin) into tile-sized outputs. The plain (unbounded) kernel fetches
+the winning point's coordinates with one ``dst[idx]`` gather on the result
+(one gather per pose solve — an in-kernel one-hot accumulator over its
+full-size tiles doubled VMEM pressure and cost ~40% end-to-end, see
+``nearest_neighbor_pallas``). The threshold-BOUNDED kernels instead emit
+winner coordinates directly via an exact one-hot MXU row select: inside the
+vmapped ICP while_loop the per-iteration ``take_along_axis`` measured
+~1.9 ms at (16, 4096) — ~70% of the whole iteration — while the in-kernel
+select rides tiles the kernel already holds in VMEM.
 
 Layout: distances are computed *transposed* — dst rows in sublanes, src rows
 in lanes — so the per-src-point reduction runs over sublanes and lands in the
@@ -154,7 +158,8 @@ def nearest_neighbor_pallas(
     return min_d2, idx, coords
 
 
-def _nn_bounded_kernel(tile_m: int, skip_ref, src_ref, dst_ref, min_ref, arg_ref):
+def _nn_bounded_kernel(tile_m: int, skip_ref, src_ref, dst_ref,
+                       min_ref, x_ref, y_ref, z_ref):
     """Threshold-bounded NN tile: whole (src-tile, dst-tile) blocks whose
     bounding boxes are farther apart than the correspondence threshold are
     skipped (their distances cannot matter — see
@@ -168,6 +173,11 @@ def _nn_bounded_kernel(tile_m: int, skip_ref, src_ref, dst_ref, min_ref, arg_ref
     throughput but 6x the Mosaic compile time (1579 s vs 241 s) — the
     per-block overhead this design pays on skipped blocks is not the
     bottleneck.
+
+    Winner coordinates come out of the kernel via an exact one-hot MXU row
+    select (see ``_nn_bounded_batched_fine_kernel``), replacing the old
+    argmin output + post-kernel ``take_along_axis`` — the gather, not the
+    kernel, dominated the vmapped ICP iteration.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -175,7 +185,9 @@ def _nn_bounded_kernel(tile_m: int, skip_ref, src_ref, dst_ref, min_ref, arg_ref
     @pl.when(j == 0)
     def _():
         min_ref[...] = jnp.full(min_ref.shape, 3.0e38, jnp.float32)
-        arg_ref[...] = jnp.zeros(arg_ref.shape, jnp.int32)
+        x_ref[...] = jnp.zeros(x_ref.shape, jnp.float32)
+        y_ref[...] = jnp.zeros(y_ref.shape, jnp.float32)
+        z_ref[...] = jnp.zeros(z_ref.shape, jnp.float32)
 
     @pl.when(skip_ref[i, j] == 0)
     def _():
@@ -193,16 +205,24 @@ def _nn_bounded_kernel(tile_m: int, skip_ref, src_ref, dst_ref, min_ref, arg_ref
         local_min = jnp.min(d2, axis=0, keepdims=True)  # (1, TILE_N)
         rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
         local_arg = jnp.min(jnp.where(d2 <= local_min, rows, _BIG_IDX), axis=0,
-                            keepdims=True) + j * tile_m
+                            keepdims=True)  # (1, TILE_N): local argmin row
+
+        sel = (rows == local_arg).astype(jnp.float32)  # (TILE_M, TILE_N)
+        xyz = jax.lax.dot_general(
+            dst, sel,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3, TILE_N)
 
         tile_n = src.shape[0]
         sub = tile_n // 128
         local_min = local_min.reshape(1, sub, 128)
-        local_arg = local_arg.reshape(1, sub, 128)
         prev_min = min_ref[...]
         better = local_min < prev_min
         min_ref[...] = jnp.where(better, local_min, prev_min)
-        arg_ref[...] = jnp.where(better, local_arg, arg_ref[...])
+        for c, ref in ((0, x_ref), (1, y_ref), (2, z_ref)):
+            new_c = xyz[c:c + 1, :].reshape(1, sub, 128)
+            ref[...] = jnp.where(better, new_c, ref[...])
 
 
 def _tile_boxes(pts: jnp.ndarray, tile: int, far_sentinel: Optional[float] = None):
@@ -269,6 +289,8 @@ def _bounded_impl(
     skip = skip.astype(jnp.int32)
 
     grid = (n_pad // tile_n, m_pad // tile_m)
+    out_block = pl.BlockSpec((1, sub, 128), lambda i, j, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -278,38 +300,30 @@ def _bounded_impl(
             pl.BlockSpec((tile_m, 3), lambda i, j, *_: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, sub, 128), lambda i, j, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sub, 128), lambda i, j, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[out_block] * 4,
     )
-    min_out, arg_out = pl.pallas_call(
+    min_out, x_out, y_out, z_out = pl.pallas_call(
         partial(_nn_bounded_kernel, tile_m),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((grid[0], sub, 128), jnp.float32),
-            jax.ShapeDtypeStruct((grid[0], sub, 128), jnp.int32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((grid[0], sub, 128), jnp.float32)] * 4,
         interpret=interpret,
     )(skip, src_p, dst_p)
 
     min_d2 = jnp.maximum(min_out.reshape(-1)[:n], 0.0)
-    idx = jnp.clip(arg_out.reshape(-1)[:n], 0, m - 1)
-    coords = dst.astype(jnp.float32)[idx]
+    coords = jnp.stack([o.reshape(-1)[:n] for o in (x_out, y_out, z_out)],
+                       axis=-1)
     return min_d2, coords
 
 
 def _nn_bounded_batched_kernel(tile_m: int, skip_ref, src_ref, dst_ref,
-                               min_ref, arg_ref):
+                               min_ref, x_ref, y_ref, z_ref):
     """Batched bounded-NN tile: identical per-tile arithmetic to
     :func:`_nn_bounded_kernel` (same dot_general shapes, same accumulation
-    order over the fastest ``j`` grid dim), with the lane index as the
-    slowest grid dimension. The batch is folded into the leading axis of the
-    flattened inputs/outputs so every block keeps the proven 2-D layout —
-    a leading size-1 block dim per lane would be a new Mosaic layout risk
-    for zero benefit.
+    order over the fastest ``j`` grid dim, same in-kernel one-hot winner
+    coordinates), with the lane index as the slowest grid dimension. The
+    batch is folded into the leading axis of the flattened inputs/outputs
+    so every block keeps the proven 2-D layout — a leading size-1 block dim
+    per lane would be a new Mosaic layout risk for zero benefit.
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -318,7 +332,9 @@ def _nn_bounded_batched_kernel(tile_m: int, skip_ref, src_ref, dst_ref,
     @pl.when(j == 0)
     def _():
         min_ref[...] = jnp.full(min_ref.shape, 3.0e38, jnp.float32)
-        arg_ref[...] = jnp.zeros(arg_ref.shape, jnp.int32)
+        x_ref[...] = jnp.zeros(x_ref.shape, jnp.float32)
+        y_ref[...] = jnp.zeros(y_ref.shape, jnp.float32)
+        z_ref[...] = jnp.zeros(z_ref.shape, jnp.float32)
 
     @pl.when(skip_ref[b, i, j] == 0)
     def _():
@@ -336,20 +352,28 @@ def _nn_bounded_batched_kernel(tile_m: int, skip_ref, src_ref, dst_ref,
         local_min = jnp.min(d2, axis=0, keepdims=True)  # (1, TILE_N)
         rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
         local_arg = jnp.min(jnp.where(d2 <= local_min, rows, _BIG_IDX), axis=0,
-                            keepdims=True) + j * tile_m
+                            keepdims=True)
+
+        sel = (rows == local_arg).astype(jnp.float32)  # (TILE_M, TILE_N)
+        xyz = jax.lax.dot_general(
+            dst, sel,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3, TILE_N)
 
         tile_n = src.shape[0]
         sub = tile_n // 128
         local_min = local_min.reshape(1, sub, 128)
-        local_arg = local_arg.reshape(1, sub, 128)
         prev_min = min_ref[...]
         better = local_min < prev_min
         min_ref[...] = jnp.where(better, local_min, prev_min)
-        arg_ref[...] = jnp.where(better, local_arg, arg_ref[...])
+        for c, ref in ((0, x_ref), (1, y_ref), (2, z_ref)):
+            new_c = xyz[c:c + 1, :].reshape(1, sub, 128)
+            ref[...] = jnp.where(better, new_c, ref[...])
 
 
 def _nn_bounded_batched_fine_kernel(tile_m: int, skip_ref, src_ref,
-                                    dst_ref, min_ref, arg_ref):
+                                    dst_ref, min_ref, x_ref, y_ref, z_ref):
     """Batched bounded-NN tile with SUB-SLAB pruning: inside each live
     (src-tile, dst-tile) block, each 128-point src sub-slab is guarded by
     its own skip bit (bit ``k`` of ``skip_ref[b, i, j]``; value 255 = all
@@ -364,9 +388,21 @@ def _nn_bounded_batched_fine_kernel(tile_m: int, skip_ref, src_ref,
     work ~3x at identical results — the src axis is never reduced, so
     sub-slabbing changes neither distances nor argmin tie-breaking.
 
+    Winner COORDINATES are produced in-kernel: the argmin row's one-hot
+    selector contracted with the dst tile on the MXU. Exact: the selector
+    has exactly one nonzero, so the f32 dot reproduces the winning dst row
+    bit-for-bit, and the selector row (min row index attaining the tile
+    min, first ``j`` wins across tiles via strict ``<``) is identical to
+    the old argmin-then-gather. This replaced a per-iteration
+    ``take_along_axis`` on the (B, N, 3) result, which at (16, 4096)
+    measured ~1.9 ms — ~70% of the whole ICP iteration — inside the
+    vmapped ICP while_loop (the kernel pass itself is ~0.05 ms). Points
+    with no live tile keep the init (3e38, (0,0,0)) — "winner unspecified"
+    per the bounded contract; ICP gives them zero Kabsch weight.
+
     Accumulation: each sub-slab owns output row ``k`` of the (1, 8, 128)
-    block — a (1, 1, 128) read-modify-write min, same cross-``j`` semantics
-    as the coarse kernel row-wise.
+    blocks — a (1, 1, 128) read-modify-write min, same cross-``j``
+    semantics as the coarse kernel row-wise.
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -375,7 +411,9 @@ def _nn_bounded_batched_fine_kernel(tile_m: int, skip_ref, src_ref,
     @pl.when(j == 0)
     def _():
         min_ref[...] = jnp.full(min_ref.shape, 3.0e38, jnp.float32)
-        arg_ref[...] = jnp.zeros(arg_ref.shape, jnp.int32)
+        x_ref[...] = jnp.zeros(x_ref.shape, jnp.float32)
+        y_ref[...] = jnp.zeros(y_ref.shape, jnp.float32)
+        z_ref[...] = jnp.zeros(z_ref.shape, jnp.float32)
 
     flags = skip_ref[b, i, j]
 
@@ -399,15 +437,26 @@ def _nn_bounded_batched_fine_kernel(tile_m: int, skip_ref, src_ref,
                 rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
                 local_arg = jnp.min(
                     jnp.where(d2 <= local_min, rows, _BIG_IDX), axis=0,
-                    keepdims=True) + j * tile_m
+                    keepdims=True)  # (1, 128): argmin row within this tile
+
+                # One-hot winner selector -> winning dst coordinates.
+                # sel has exactly one 1.0 per column (argmin row), so the
+                # dot is an exact row select, not an approximate sum.
+                sel = (rows == local_arg).astype(jnp.float32)  # (TILE_M, 128)
+                xyz = jax.lax.dot_general(
+                    dst, sel,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (3, 128)
 
                 local_min = local_min.reshape(1, 1, 128)
-                local_arg = local_arg.reshape(1, 1, 128)
                 prev_min = min_ref[:, k:k + 1, :]
                 better = local_min < prev_min
                 min_ref[:, k:k + 1, :] = jnp.where(better, local_min, prev_min)
-                arg_ref[:, k:k + 1, :] = jnp.where(better, local_arg,
-                                                   arg_ref[:, k:k + 1, :])
+                for c, ref in ((0, x_ref), (1, y_ref), (2, z_ref)):
+                    new_c = xyz[c:c + 1, :].reshape(1, 1, 128)
+                    ref[:, k:k + 1, :] = jnp.where(better, new_c,
+                                                   ref[:, k:k + 1, :])
 
 
 def _bounded_batched(
@@ -479,6 +528,8 @@ def _bounded_batched(
         skip = skip.astype(jnp.int32)
 
     grid = (B, nt, mt)
+    out_block = pl.BlockSpec((1, sub, 128), lambda b, i, j, *_: (b * nt + i, 0, 0),
+                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -488,31 +539,24 @@ def _bounded_batched(
             pl.BlockSpec((tile_m, 3), lambda b, i, j, *_: (b * mt + j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, sub, 128), lambda b, i, j, *_: (b * nt + i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sub, 128), lambda b, i, j, *_: (b * nt + i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[out_block] * 4,
     )
     kernel = (partial(_nn_bounded_batched_fine_kernel, tile_m) if fine
               else partial(_nn_bounded_batched_kernel, tile_m))
     operands = (skip, src_p.reshape(B * n_pad, 3),
                 dst_p.reshape(B * m_pad, 3))
-    min_out, arg_out = pl.pallas_call(
+    min_out, x_out, y_out, z_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B * nt, sub, 128), jnp.float32),
-            jax.ShapeDtypeStruct((B * nt, sub, 128), jnp.int32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((B * nt, sub, 128), jnp.float32)] * 4,
         interpret=interpret,
     )(*operands)
 
     min_d2 = jnp.maximum(min_out.reshape(B, -1)[:, :n], 0.0)
-    idx = jnp.clip(arg_out.reshape(B, -1)[:, :n], 0, m - 1)
-    coords = jnp.take_along_axis(dst.astype(jnp.float32), idx[..., None],
-                                 axis=1)
+    # Winner coords came out of the kernel (exact one-hot row select)
+    # — no post-kernel gather. (0,0,0) where no tile was live.
+    coords = jnp.stack(
+        [o.reshape(B, -1)[:, :n] for o in (x_out, y_out, z_out)], axis=-1)
     return min_d2, coords
 
 

@@ -24,19 +24,32 @@ assert len(jax.devices()) == 8, "8-device virtual CPU mesh required for sharding
 
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: the suite is compile-bound on CPU, so cache
-# executables across pytest runs. The cache dir is keyed by the HOST'S CPU
-# feature set: the container migrates between machines, and XLA:CPU AOT
-# results compiled with features the current host lacks (e.g.
-# prefer-no-scatter) load with a "could lead to SIGILL" warning and have
-# crashed full-suite runs mid-file. A feature-keyed dir makes a migrated
-# session start a fresh cache instead of executing foreign code.
+# executables across pytest runs. The cache dir is keyed by the HOST CPU:
+# the container migrates between machines, and XLA:CPU AOT results compiled
+# on a different host load with a "could lead to SIGILL" warning and have
+# crashed full-suite runs (SIGILL at exit in round 3; SIGSEGV inside
+# backend_compile_and_load mid-run in round 4). Keying by the cpuinfo
+# ``flags`` line alone proved insufficient: LLVM derives TUNING features
+# (e.g. ``+prefer-no-gather``) from the CPU *model*, so two hosts with
+# identical flags but different models shared a dir and still loaded
+# foreign code. Key by vendor/family/model/stepping/model-name + flags.
 import hashlib  # noqa: E402
 
+_CPU_KEY_FIELDS = ("vendor_id", "cpu family", "model\t", "model name",
+                   "stepping", "flags")
 try:
     with open("/proc/cpuinfo") as _f:
-        _feats = next((l for l in _f if l.startswith("flags")), "")
+        _lines = []
+        for _l in _f:
+            if _l.startswith(_CPU_KEY_FIELDS):
+                _lines.append(_l.strip())
+            if _l.strip() == "" and _lines:
+                break  # first core's block is enough; cores are identical
+        _feats = "\n".join(_lines)
 except OSError:  # non-Linux fallback: platform string only
-    _feats = ""
+    import platform as _platform
+
+    _feats = _platform.processor()
 _host_key = hashlib.sha256(_feats.encode()).hexdigest()[:12]
 jax.config.update("jax_compilation_cache_dir",
                   f"/tmp/scream_tpu_jax_cache_{_host_key}")
