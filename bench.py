@@ -644,6 +644,251 @@ def roofline():
     _emit(rec)
 
 
+def _trace_device_ops(thunk, n_calls=2):
+    """Run ``thunk`` ``n_calls`` times under a fresh profiler trace and
+    return ``(busy_ms_per_call, agg)`` where busy is the interval-union of
+    the device's "XLA Ops" track (nested events don't double-count) and
+    ``agg`` maps op name -> total us. The remote tunnel caches identical
+    dispatches, so ``thunk`` must produce distinct work per call (it
+    receives the call index)."""
+    import glob
+    import gzip
+    import shutil
+    import tempfile
+    import collections
+
+    import jax
+
+    out_dir = tempfile.mkdtemp(prefix="scream_trace_")
+    try:
+        jax.profiler.start_trace(out_dir)
+        for k in range(n_calls):
+            thunk(k)
+        jax.profiler.stop_trace()
+        paths = glob.glob(out_dir + "/**/*.trace.json.gz", recursive=True)
+        procs, threads = {}, {}
+        spans = []
+        agg = collections.Counter()
+        for p in paths:
+            with gzip.open(p, "rt") as f:
+                data = json.load(f)
+            for ev in data.get("traceEvents", []):
+                ph = ev.get("ph")
+                if ph == "M":
+                    if ev.get("name") == "process_name":
+                        procs[ev["pid"]] = ev["args"].get("name", "")
+                    elif ev.get("name") == "thread_name":
+                        threads[(ev["pid"], ev.get("tid"))] = (
+                            ev["args"].get("name", ""))
+            for ev in data.get("traceEvents", []):
+                if ev.get("ph") != "X":
+                    continue
+                if "TPU" not in procs.get(ev["pid"], ""):
+                    continue
+                if threads.get((ev["pid"], ev.get("tid"))) != "XLA Ops":
+                    continue
+                spans.append((ev["ts"], ev["ts"] + ev.get("dur", 0)))
+                agg[ev["name"]] += ev.get("dur", 0)
+        spans.sort()
+        busy, cur_s, cur_e = 0.0, None, None
+        for s, e in spans:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    busy += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            busy += cur_e - cur_s
+        return busy / 1e3 / n_calls, agg
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def icp_roofline():
+    """ICP-side roofline (VERDICT r3 item 1) + device-true solve stage
+    (item 4): where each millisecond of the ICP-dominated step half goes,
+    measured from the device trace, with an analytic work model of the
+    bounded-NN kernel and the floors it implies.
+
+    Methodology notes:
+      * The budget-pair SLOPE method (never-converge loops at two budgets)
+        under-measures late iterations: once a lane numerically reaches its
+        fixed point the kernel sees bit-identical inputs and the remote
+        runtime serves the dispatch from cache. Slopes are reported for
+        early budgets only (all lanes still moving); the traced call is the
+        ground truth.
+      * The kernel's cost scales with the LIVE sub-slab fraction of the
+        skip matrix (spatial pruning), reported alongside; the analytic
+        model prices one live (256 x 128) sub-slab tile at ~330
+        (8,128)-vreg VPU ops (distance + min-reduce + argmin + one-hot
+        select + accumulate) — the MXU dots (cross term, winner select)
+        are negligible at K=3.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scream_tpu.config import ModelConfig
+    from scream_tpu.data import PairLoader, SyntheticPairDataset
+    from scream_tpu.geometry.icp import registration_icp_batched, _spatial_sort
+    from scream_tpu.models.point_transformer import PointTransformer
+    from scream_tpu.pipeline.register import denormalized_gt, register_batch
+
+    ds = SyntheticPairDataset(length=BATCH, n_src=N_POINTS - 256,
+                              n_tgt=N_POINTS - 64, seed=3)
+    b0 = {k: jnp.asarray(v) for k, v in next(iter(PairLoader(
+        ds, batch_size=BATCH, src_capacity=N_POINTS,
+        tgt_capacity=N_POINTS))).items()}
+    s = b0["scale"][:, None, None]
+    c = b0["center"][:, None, :]
+    src_dn = b0["src"] / s + c
+    tgt_dn = b0["tgt"] / s + c
+    sm, tm = b0["src_mask"] > 0, b0["tgt_mask"] > 0
+    gt = denormalized_gt(b0["rot"], b0["trans"], b0["scale"], b0["center"])
+    host = np.random.default_rng(13)
+    init = np.asarray(gt).copy()
+    init[:, :3, 3] += host.normal(0, 0.02, (BATCH, 3)).astype(np.float32)
+    init = jnp.asarray(init)
+    thresh = 0.1
+
+    # --- early-budget slope (all lanes still far from their fixed points) ---
+    def run(src, max_it):
+        return registration_icp_batched(
+            src, tgt_dn, thresh, init=init, max_iteration=max_it,
+            src_mask=sm, tgt_mask=tm,
+            relative_fitness=-1.0, relative_rmse=-1.0).transformation
+
+    def timed(max_it, iters=6):
+        ins = []
+        for k in range(iters + 1):
+            d = src_dn + jnp.asarray(
+                host.standard_normal(src_dn.shape).astype(np.float32) * 1e-5)
+            np.asarray(d)
+            ins.append(d)
+        np.asarray(run(ins[0], max_it))
+        t0 = time.time()
+        pend = run(ins[1], max_it)
+        for x in ins[2:]:
+            nxt = run(x, max_it)
+            np.asarray(pend)
+            pend = nxt
+        np.asarray(pend)
+        return (time.time() - t0) / iters
+
+    t4, t24 = timed(4), timed(24)
+    slope_early = (t24 - t4) / 20
+    _emit({"metric": "icp_per_iteration_ms_slope_early",
+           "value": round(slope_early * 1e3, 3), "unit": "ms",
+           "note": "budgets 4->24 (20-iteration signal clears the ~10 ms "
+                   "tunnel run-to-run variance; most lanes still "
+                   "pre-fixed-point at 24)"})
+
+    # --- traced 12-iteration call: kernel vs tail, device-true ---
+    def icp_thunk(k):
+        d = src_dn + jnp.asarray(
+            host.standard_normal(src_dn.shape).astype(np.float32) * 1e-5)
+        np.asarray(d)
+        np.asarray(run(d, 12))
+
+    np.asarray(run(src_dn, 12))  # compile outside the trace
+    busy_ms, agg = _trace_device_ops(icp_thunk)
+    k_us = sum(v for n, v in agg.items()
+               if n.startswith("nearest_neighbor_bounded"))
+    w_us = max((v for n, v in agg.items() if n.startswith("while")),
+               default=0.0)
+    n_calls = 2
+    per_it_kernel = k_us / 1e3 / n_calls / 12
+    per_it_while = w_us / 1e3 / n_calls / 12
+    _emit({"metric": "icp_traced_ms_per_iteration",
+           "value": round(per_it_while, 3), "unit": "ms",
+           "kernel_ms": round(per_it_kernel, 3),
+           "xla_tail_ms": round(per_it_while - per_it_kernel, 3),
+           "note": "12-iteration traced call; tail = Kabsch sums + 3x3 SVD "
+                   "+ fitness/rmse + transform"})
+
+    # --- live-fraction + analytic kernel model ---
+    from scream_tpu.ops.nn_pallas import FAR, _box_gap_sq, _tile_boxes
+    srt_s, srt_sm = jax.vmap(_spatial_sort)(src_dn, sm, init[:, 0, :3])
+    srt_t, srt_tm = jax.vmap(lambda p, m: _spatial_sort(p, m))(tgt_dn, tm)
+    src_t0 = jax.vmap(lambda p, T: p @ T[:3, :3].T + T[:3, 3])(srt_s, init)
+    dst_f = jnp.where(srt_tm[..., None], srt_t, FAR)
+    f_lo, f_hi = jax.vmap(lambda p: _tile_boxes(p, 128))(src_t0)
+    d_lo, d_hi = jax.vmap(lambda p: _tile_boxes(p, 256, far_sentinel=FAR))(dst_f)
+    gap = jax.vmap(_box_gap_sq)(f_lo, f_hi, d_lo, d_hi)
+    live = float(jnp.mean((gap <= thresh * thresh).astype(jnp.float32)))
+    n_sub = BATCH * (N_POINTS // 128) * (N_POINTS // 256)
+    live_n = live * n_sub
+    per_live_us = k_us / 1e3 / n_calls / 12 / max(live_n, 1) * 1e3
+    VREG_OPS_PER_SUBSLAB = 330  # d2 + min + argmin + one-hot + accumulate
+    _emit({"metric": "icp_kernel_work_model",
+           "live_subslab_frac": round(live, 4),
+           "live_subslabs_per_iter": int(live_n),
+           "measured_us_per_live_subslab": round(per_live_us, 3),
+           "modeled_vreg_ops_per_subslab": VREG_OPS_PER_SUBSLAB,
+           "implied_vreg_ops_per_us": round(
+               VREG_OPS_PER_SUBSLAB / max(per_live_us, 1e-9), 1),
+           "note": "kernel cost ~ live_subslabs x per-subslab VPU work; "
+                   "init-frame sort sets the live fraction "
+                   "(geometry/icp._spatial_sort)"})
+
+    # --- device-true forward / solve / ICP split of register_batch ---
+    model = PointTransformer(ModelConfig(dtype=DTYPE, norm_dtype=NORM_DTYPE))
+    params = model.init(jax.random.PRNGKey(0), b0["src"], b0["tgt"],
+                        b0["src_mask"], b0["tgt_mask"],
+                        jnp.swapaxes(b0["trans"], -1, -2))["params"]
+
+    def apply_fn(p, src, tgt, smk, tmk, ctr):
+        return model.apply({"params": p}, src, tgt, smk, tmk, ctr)
+
+    fwd = jax.jit(lambda bb: apply_fn(params, bb["src"], bb["tgt"],
+                                      bb["src_mask"], bb["tgt_mask"],
+                                      jnp.swapaxes(bb["trans"], -1, -2)))
+
+    def perturbed(k):
+        bb = dict(b0)
+        bb["src"] = b0["src"] + jnp.asarray(
+            host.standard_normal(b0["src"].shape).astype(np.float32) * 1e-4)
+        np.asarray(bb["src"])
+        return bb
+
+    stages = {
+        "fwd": lambda bb: fwd(bb),
+        "solve": lambda bb: register_batch(apply_fn, params, bb,
+                                           dis_thresh=0.1, corr="tgt",
+                                           use_icp=False).transform,
+        "full": lambda bb: register_batch(apply_fn, params, bb,
+                                          dis_thresh=0.1, corr="tgt",
+                                          icp_thresh=0.1,
+                                          icp_max_iter=ICP_ITERS).transform,
+    }
+    dev_ms = {}
+    for name, f in stages.items():
+        np.asarray(f(perturbed(0)))  # compile outside the trace
+
+        def thunk(k, f=f):
+            np.asarray(f(perturbed(k + 1)))
+
+        dev_ms[name], _ = _trace_device_ops(thunk)
+    solve_ms = max(dev_ms["solve"] - dev_ms["fwd"], 0.0)
+    icp_ms = max(dev_ms["full"] - dev_ms["solve"], 0.0)
+    flops = _forward_flops(N_POINTS, N_POINTS) * BATCH
+    path_mfu = flops / (dev_ms["full"] / 1e3) / V5E_PEAK_BF16_FLOPS
+    _emit({"metric": "breakdown_device_true_ms_per_batch",
+           "forward": round(dev_ms["fwd"], 2),
+           "solve": round(solve_ms, 2),
+           "icp": round(icp_ms, 2),
+           "total": round(dev_ms["full"], 2),
+           "note": "interval-union of the device XLA-Ops track per traced "
+                   "call (transfers/host excluded); solve = NN + Kabsch "
+                   "+ metrics"})
+    _emit({"metric": "register_batch_path_mfu_pct",
+           "value": round(path_mfu * 100.0, 2), "unit": "%",
+           "note": "forward analytic FLOPs / whole-path device time "
+                   "(forward+solve+ICP) vs v5e bf16 peak — the honest "
+                   "end-to-end figure; ICP/solve add no MXU FLOPs"})
+
+
 def breakdown():
     """Step breakdown at the headline operating point: forward / pose solve /
     ICP wall-clock shares per batch, plus an analytic-FLOPs MFU figure for
@@ -853,13 +1098,13 @@ if __name__ == "__main__":
                 sys.exit(2)
             TRACE_DIR = args[i + 1]
             i += 2
-        elif a in ("--suite", "--breakdown", "--roofline"):
+        elif a in ("--suite", "--breakdown", "--roofline", "--icp-roofline"):
             i += 1
         else:
             sys.stderr.write(
                 f"bench.py: unknown argument {a!r} "
-                "(known: --suite --breakdown --roofline --write PATH "
-                "--trace DIR)\n")
+                "(known: --suite --breakdown --roofline --icp-roofline "
+                "--write PATH --trace DIR)\n")
             sys.exit(2)
     _probe_backend()
     _start_watchdog(int(os.environ.get("BENCH_WATCHDOG_S", 1200)))
@@ -877,6 +1122,10 @@ if __name__ == "__main__":
                 _flush(write_path)
         if "--roofline" in args:
             roofline()
+        if "--icp-roofline" in args:
+            icp_roofline()
+            if write_path is not None:
+                _flush(write_path)
     finally:
         # Disarm the watchdog: its os._exit(4) must only fire while a bench
         # is actually in flight. In-process runs (the smoke tests execute
