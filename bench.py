@@ -980,7 +980,10 @@ def breakdown():
                    "per-call sync overhead"})
     _emit({"metric": "breakdown_solve_ms_per_batch",
            "value": round(max(t_solve - t_fwd, 0.0) * 1e3, 2), "unit": "ms",
-           "note": "correspondence NN + weighted Kabsch + metrics"})
+           "note": "wall-clock subtraction: the ~3 ms solve hides under the "
+                   "per-call RPC jitter, so this often reads 0 — the honest "
+                   "figure is breakdown_device_true_ms_per_batch.solve "
+                   "(--icp-roofline, trace-based)"})
     _emit({"metric": "breakdown_icp_ms_per_batch",
            "value": round(max(t_full - t_solve, 0.0) * 1e3, 2), "unit": "ms",
            "note": f"{ICP_ITERS} NN+Kabsch iterations"})

@@ -104,6 +104,9 @@ class TrainConfig:
     checkpoint_metric: str = "point_loss"  # or "success_rate", "chamfer"
     save_img_iter: int = 1000
     log_every: int = 50  # trainer batch-counter interval for metric snapshots
+    # GPipe microbatches for the pipeline-parallel trainer path
+    # (``--mesh pipe=N``); None -> 2 x n_stages. Batch size must divide it.
+    pp_microbatches: int | None = None
 
 
 @dataclasses.dataclass(frozen=True)

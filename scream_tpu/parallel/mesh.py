@@ -35,29 +35,37 @@ def make_mesh(
     n_seq: int = 1,
     devices: Optional[Sequence] = None,
     n_model: int = 1,
+    n_pipe: int = 1,
 ) -> Mesh:
-    """A ``(data, seq[, model])`` mesh over the available devices.
+    """A ``(data, seq[, model])`` or ``(data, pipe)`` mesh over the devices.
 
-    Defaults to all devices on the data axis. ``n_data * n_seq * n_model``
-    must equal the device count used. The ``model`` axis is only added when
-    ``n_model > 1`` so existing 2-axis callers are unaffected.
+    Defaults to all devices on the data axis. The axis product must fit the
+    device count. ``model``/``pipe`` axes are only added when > 1 so
+    existing 2-axis callers are unaffected; ``pipe`` composes with ``data``
+    only (GPipe stages — `parallel/pp_flagship.py`).
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // (n_seq * n_model)
-    if n_data < 1 or n_seq < 1 or n_model < 1:
+        n_data = len(devices) // (n_seq * n_model * n_pipe)
+    if n_data < 1 or n_seq < 1 or n_model < 1 or n_pipe < 1:
         raise ValueError(
-            f"mesh axes must be >= 1, got data={n_data} seq={n_seq} model={n_model}"
+            f"mesh axes must be >= 1, got data={n_data} seq={n_seq} "
+            f"model={n_model} pipe={n_pipe}"
         )
-    need = n_data * n_seq * n_model
+    if n_pipe > 1 and (n_seq > 1 or n_model > 1):
+        raise ValueError("pipe composes with data only")
+    need = n_data * n_seq * n_model * n_pipe
     if need > len(devices):
         raise ValueError(
-            f"mesh {n_data}x{n_seq}x{n_model} needs {need} "
+            f"mesh {n_data}x{n_seq}x{n_model}x{n_pipe} needs {need} "
             f"devices, found {len(devices)}"
         )
     # An explicit smaller mesh uses the leading device subset (e.g.
     # `--mesh data=4` on an 8-chip host trains on 4 chips).
     devices = devices[:need]
+    if n_pipe > 1:
+        arr = np.asarray(devices).reshape(n_data, n_pipe)
+        return Mesh(arr, ("data", "pipe"))
     if n_model > 1:
         arr = np.asarray(devices).reshape(n_data, n_seq, n_model)
         return Mesh(arr, ("data", "seq", "model"))
@@ -86,11 +94,12 @@ def parse_mesh_spec(spec: str, devices: Optional[Sequence] = None) -> Mesh:
     n_data = kv.pop("data", None)
     n_seq = kv.pop("seq", 1)
     n_model = kv.pop("model", 1)
+    n_pipe = kv.pop("pipe", 1)
     if kv:
         raise ValueError(
             f"unknown mesh axes {sorted(kv)} in {spec!r}; the trainer path "
-            "supports data, seq and model (pipeline/expert parallelism are "
-            "library APIs, scream_tpu.parallel)"
+            "supports data, seq, model and pipe (expert parallelism is a "
+            "library API, scream_tpu.parallel)"
         )
     if n_seq > 1 and n_model > 1:
         raise ValueError(
@@ -98,8 +107,12 @@ def parse_mesh_spec(spec: str, devices: Optional[Sequence] = None) -> Mesh:
             "data= only (seq x model 3-D training is a library-API "
             "composition, not a one-flag preset)"
         )
+    if n_pipe > 1 and (n_seq > 1 or n_model > 1):
+        raise ValueError(
+            f"mesh spec {spec!r}: pipe= composes with data= only"
+        )
     return make_mesh(n_data=n_data, n_seq=n_seq, n_model=n_model,
-                     devices=devices)
+                     n_pipe=n_pipe, devices=devices)
 
 
 def is_data_only(mesh: Mesh) -> bool:

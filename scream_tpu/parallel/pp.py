@@ -59,6 +59,7 @@ def pipeline_parallel_apply(
     microbatches,
     mesh: Mesh,
     axis: str = "pipe",
+    data_axis: Optional[str] = None,
 ):
     """Run ``n_micro`` microbatches through ``n_stages`` pipelined stages.
 
@@ -73,6 +74,11 @@ def pipeline_parallel_apply(
         leaf; replicated to every stage (stage 0 consumes it).
       mesh: a mesh containing the ``axis`` dimension (usually
         :func:`make_pipeline_mesh`).
+      data_axis: optional second mesh axis sharding every microbatch's BATCH
+        dim (leaf dim 1, after the leading ``n_micro`` axis) — the
+        ``(data, pipe)`` composition: each data row runs its own pipeline
+        over its batch shard; no cross-axis collectives are added (the
+        ppermute and the final psum stay on ``axis``).
 
     Returns the output pytree with leading ``n_micro`` axis — microbatch j's
     result after all ``n_stages`` stages, identical to applying the stages
@@ -130,8 +136,9 @@ def pipeline_parallel_apply(
         )
 
     param_specs = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
-    mb_specs = jax.tree_util.tree_map(lambda _: P(), microbatches)
-    out_specs = jax.tree_util.tree_map(lambda _: P(), microbatches)
+    mb_p = P() if data_axis is None else P(None, data_axis)
+    mb_specs = jax.tree_util.tree_map(lambda _: mb_p, microbatches)
+    out_specs = jax.tree_util.tree_map(lambda _: mb_p, microbatches)
     fn = shard_map(
         body,
         mesh=mesh,

@@ -91,7 +91,13 @@ def _wrap_steps_for_mesh(trainer, mesh) -> None:
 
     seq = mesh.shape.get("seq", 1) if "seq" in mesh.axis_names else 1
     model = mesh.shape.get("model", 1) if "model" in mesh.axis_names else 1
-    if model > 1:
+    pipe = mesh.shape.get("pipe", 1) if "pipe" in mesh.axis_names else 1
+    if pipe > 1:
+        # The PP step is already mesh-aware (shard_map over the pipe axis
+        # inside, pp_flagship.py); it only needs the DP placement contract —
+        # state replicated, batch sharded on data.
+        trainer.train_step = data_parallel_step(trainer.train_step, mesh)
+    elif model > 1:
         trainer.train_step = tensor_parallel_step(trainer.train_step, mesh)
     elif seq > 1:
         trainer.train_step = data_seq_parallel_step(
@@ -169,14 +175,36 @@ class RegistrationTrainer:
         self.disc_optimizer = (
             optim.discriminator_optimizer(train_cfg) if self.use_gan else None
         )
-        self.train_step = make_registration_train_step(
-            self.model, self.optimizer,
-            use_gan=self.use_gan,
-            disc_apply=make_disc_logit_fn(self.disc) if self.use_gan else None,
-            render_cfg=render_cfg,
-            gan_weight=train_cfg.gan_weight,
-            center_mode=eval_cfg.center_mode,
-        )
+        pipe = (mesh.shape.get("pipe", 1)
+                if mesh is not None and "pipe" in mesh.axis_names else 1)
+        if pipe > 1:
+            # `--mesh pipe=N[,data=M]`: the flagship forward pipelines its
+            # 18-block stack over the pipe axis (GPipe microbatches,
+            # `parallel/pp_flagship.py`); point loss only — the reference
+            # ships GAN off by default (train_3d_match.py:23) and the
+            # renderer/discriminator live outside the pipeline.
+            if self.use_gan:
+                raise ValueError(
+                    "--mesh pipe=N does not combine with GAN training; "
+                    "drop use_gan or use a data/seq/model mesh")
+            from scream_tpu.parallel.pp_flagship import (
+                make_pp_registration_train_step,
+            )
+
+            n_micro = train_cfg.pp_microbatches or 2 * pipe
+            self.train_step = make_pp_registration_train_step(
+                self.model_cfg, self.optimizer, mesh, n_micro,
+                center_mode=eval_cfg.center_mode, data_axis="data",
+            )
+        else:
+            self.train_step = make_registration_train_step(
+                self.model, self.optimizer,
+                use_gan=self.use_gan,
+                disc_apply=make_disc_logit_fn(self.disc) if self.use_gan else None,
+                render_cfg=render_cfg,
+                gan_weight=train_cfg.gan_weight,
+                center_mode=eval_cfg.center_mode,
+            )
         self.disc_step = (
             make_discriminator_step(self.disc, self.disc_optimizer, render_cfg)
             if self.use_gan

@@ -23,37 +23,20 @@ assert jax.default_backend() == "cpu", "tests must not run on the TPU tunnel"
 assert len(jax.devices()) == 8, "8-device virtual CPU mesh required for sharding tests"
 
 jax.config.update("jax_enable_x64", False)
-# Persistent compile cache: the suite is compile-bound on CPU, so cache
-# executables across pytest runs. The cache dir is keyed by the HOST CPU:
-# the container migrates between machines, and XLA:CPU AOT results compiled
-# on a different host load with a "could lead to SIGILL" warning and have
-# crashed full-suite runs (SIGILL at exit in round 3; SIGSEGV inside
-# backend_compile_and_load mid-run in round 4). Keying by the cpuinfo
-# ``flags`` line alone proved insufficient: LLVM derives TUNING features
-# (e.g. ``+prefer-no-gather``) from the CPU *model*, so two hosts with
-# identical flags but different models shared a dir and still loaded
-# foreign code. Key by vendor/family/model/stepping/model-name + flags.
-import hashlib  # noqa: E402
-
-_CPU_KEY_FIELDS = ("vendor_id", "cpu family", "model\t", "model name",
-                   "stepping", "flags")
-try:
-    with open("/proc/cpuinfo") as _f:
-        _lines = []
-        for _l in _f:
-            if _l.startswith(_CPU_KEY_FIELDS):
-                _lines.append(_l.strip())
-            if _l.strip() == "" and _lines:
-                break  # first core's block is enough; cores are identical
-        _feats = "\n".join(_lines)
-except OSError:  # non-Linux fallback: platform string only
-    import platform as _platform
-
-    _feats = _platform.processor()
-_host_key = hashlib.sha256(_feats.encode()).hexdigest()[:12]
-jax.config.update("jax_compilation_cache_dir",
-                  f"/tmp/scream_tpu_jax_cache_{_host_key}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Persistent compile cache: DISABLED for the suite. XLA:CPU's AOT
+# executable serialization is not stable in this environment in either
+# direction — loading a result compiled on a different host crashes
+# (SIGILL at exit in round 3, SIGSEGV inside backend_compile_and_load
+# mid-run in round 4, both with the "machine type ... could lead to
+# SIGILL" cpu_aot_loader error: LLVM derives tuning features like
+# +prefer-no-gather from the CPU *model*, so no /proc/cpuinfo-derived
+# cache key can safely partition migrating containers), and even a
+# fresh same-host cache segfaulted mid-run WRITING an entry
+# (put_executable_and_time -> serialize). Correctness beats the compile
+# savings: every pytest run compiles cold. (The TPU path is unaffected —
+# bench/selftest runs use the backend's own remote compile cache.)
+if jax.config.jax_compilation_cache_dir:
+    jax.config.update("jax_compilation_cache_dir", None)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
