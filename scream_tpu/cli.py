@@ -319,11 +319,13 @@ def cmd_evaluate(args):
         # Fail before the multi-minute model/dataset load, not inside eval.
         if args.protocol != "kitti":
             raise SystemExit(
-                "--icp-chunk applies to the kitti protocol only (the other "
+                "--experimental-icp-chunk applies to the kitti protocol "
+                "only (the other "
                 "protocols run ICP at the Open3D default budget of 30, "
                 "where chunking measured slower — docs/DESIGN.md)")
         if args.icp_chunk < 1:
-            raise SystemExit(f"--icp-chunk must be >= 1, got {args.icp_chunk}")
+            raise SystemExit(
+                f"--experimental-icp-chunk must be >= 1, got {args.icp_chunk}")
     model_cfg = _apply_model_overrides(model_cfg, args)
     mesh = _parse_mesh(args)
     model_cfg = _disable_unpartitionable_fusion(model_cfg, mesh)
@@ -903,10 +905,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ICP max correspondence distance")
     e.add_argument("--icp-max-iter", type=int, default=None,
                    help="ICP iteration cap (30 for 3DMatch, 1000 for KITTI)")
-    e.add_argument("--icp-chunk", type=int, default=None,
-                   help="kitti only: chunked ICP with host-side straggler "
-                        "re-queue (identical protocol numbers; converged "
-                        "pairs stop riding to the slowest lane)")
+    e.add_argument("--experimental-icp-chunk", dest="icp_chunk", type=int,
+                   default=None,
+                   help="kitti only, EXPERIMENTAL: chunked ICP with "
+                        "host-side straggler re-queue. Identical protocol "
+                        "numbers, but measured 3-4x SLOWER than the plain "
+                        "batched loop on the target hardware — converged "
+                        "lanes already skip their NN tiles in-device, so "
+                        "the host compaction has nothing left to win "
+                        "(docs/DESIGN.md, 'Chunked ICP: a documented "
+                        "negative result')")
     e.add_argument("--re-stat", choices=["median", "mean"], default=None,
                    help="per-scene RE/TE statistic")
     e.add_argument("--center-mode", choices=["trans", "neg_rt", "none"],

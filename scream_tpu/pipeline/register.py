@@ -809,12 +809,16 @@ def register_pair_robust(
          with the ICP correspondence radius opened to ``3 * icp_thresh``,
          then two composed passes at ``icp_thresh`` (see
          :func:`register_pair` ``passes``).
-      3. **Tight-threshold ranking**: candidates are scored by the NN
-         inlier fraction at ``icp_thresh / 2`` — at the ICP radius itself a
-         wrong locked pose can out-score a right one; at half the radius it
-         cannot (measured: ranking at the ICP radius loses ~0.19 recall).
-      4. A final ICP at ``icp_thresh / 2`` (up to ``final_icp_max_iter``
-         iterations) polishes the winner.
+      3. **Polish-then-rank**: EVERY candidate lane gets the final ICP at
+         ``icp_thresh / 2`` (one batched call per pair, up to
+         ``final_icp_max_iter`` iterations) and the lanes are ranked by the
+         POLISHED ICP fitness — the tight-radius inlier fraction at the
+         converged pose. Ranking before convergence lost ~6% recall at full
+         SO(3): in every diagnosed failure a near-GT lane with unconverged
+         translation scored 0.15-0.24 while the true pose scores 0.33-0.40
+         (round-4 tail diagnosis, docs/EVAL_SNAPSHOT.md). The tight radius
+         itself remains load-bearing: at the full ICP radius a wrong locked
+         pose can out-score a right one (measured: ~0.19 recall loss).
 
     Cost: the starts run BATCHED — each stage (coarse, fine x2) is one
     :func:`register_pairs` dispatch of all lanes, so the whole search is
@@ -846,15 +850,16 @@ def register_pairs_robust(
     final_icp_max_iter: int = 100,
     starts: str = "axis7",
     batch_size: Optional[int] = None,
+    return_lanes: bool = False,
 ) -> list:
     """Robust multi-start search over MANY pairs — batched robust serving.
 
     The search of :func:`register_pair_robust` with the lane axis carrying
     ``pairs x starts``: each coarse/fine stage is a :func:`register_pairs`
     call over every (pair, seed) lane, so a whole ``--manifest --robust``
-    stream costs 3 batched forward stages + one final ICP per pair instead
-    of 3 stages *per pair*. Per-pair semantics (seed frames, coarse-to-fine
-    gates, tight-threshold ranking, final polish ICP) are those of
+    stream costs 3 batched forward stages + one batched polish-ICP per pair
+    instead of 3 stages *per pair*. Per-pair semantics (seed frames,
+    coarse-to-fine gates, polish-then-rank) are those of
     :func:`register_pair_robust` — which is implemented as the one-pair
     case of this function, so the two cannot drift.
 
@@ -866,15 +871,10 @@ def register_pairs_robust(
         is exactly ``len(seeds)``, preserving register_pair_robust's
         historical dispatch shape (and jit cache).
 
-    Host-side cost note: candidate ranking (`_tight_fitness`) runs
-    ``len(pairs) * len(seeds)`` chunked NN scorings on the host — a few ms
-    per lane at serving cloud sizes.
-
     Returns a list of :class:`PairRegistration` in input order (transforms
     in each pair's ORIGINAL input frame).
     """
     from scream_tpu.data.batching import pad_cloud
-    from scream_tpu.geometry.icp import registration_icp
 
     pairs = [(np.asarray(s, np.float32), np.asarray(t, np.float32))
              for s, t in pairs]
@@ -922,33 +922,70 @@ def register_pairs_robust(
             r2.fitness == r1.fitness and r2.inlier_rmse < r1.inlier_rmse)
         lanes.append((T2, r2.n_corr) if take2 else (T1, r1.n_corr))
 
-    out = []
-    for p, (src, tgt) in enumerate(pairs):
-        best: Optional[tuple] = None
-        for T, n_corr in lanes[p * S:(p + 1) * S]:
-            src_f = src @ T[:3, :3].T + T[:3, 3]
-            score = _tight_fitness(src_f, tgt, tight)
-            if best is None or score > best[0]:
-                best = (score, T, n_corr)
+    # Final stage: a coarse->fine->tight ICP LADDER over an enlarged
+    # candidate set, then rank by the POLISHED tight-radius ICP fitness
+    # (the inlier fraction at the converged pose). Round-4 tail diagnosis
+    # (docs/EVAL_SNAPSHOT.md): every full-SO(3) failure had the true pose
+    # scoring 0.33-0.40 tight fitness while all candidates scored <=0.24 —
+    # lanes were rotationally near GT but translationally stranded, because
+    # each search pass REPLACES the pose with the model's Kabsch solve, so
+    # one bad forward strands the lane beyond any single tight-ICP basin.
+    # Two remedies, both model-independent:
+    #   * candidates = the S model-refined lanes PLUS the S centroid-matched
+    #     raw seeds (seed rotation + tgt_centroid - R @ src_centroid) — a
+    #     pure-geometry fallback lane per seed that cannot be dragged away
+    #     by a bad forward;
+    #   * the polish ladder opens the basin (3x radius, 30 it) before the
+    #     protocol radius (30 it) and the tight half-radius polish, pulling
+    #     stranded translations in before the fine lock.
+    # All 2S lanes ride ONE batched ICP per ladder rung per pair (compiled
+    # per (2S, capacity) shape, cached across pairs).
+    from scream_tpu.geometry.icp import registration_icp_batched
 
-        _, T, n_corr = best
-        src_w = (src @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
-        # Pad to the training bucket ladder: raw (N, M) shapes would compile
-        # a fresh ICP executable per distinct cloud-size pair in a manifest
-        # stream, while every other stage reuses one compile per bucket.
-        cap = capacity or _default_capacity(max(len(src_w), len(tgt)))
-        src_p, src_m = pad_cloud(src_w, cap)
+    out = []
+    lane_diag = []  # (post-polish fitness, polished T) per (pair, candidate)
+    for p, (src, tgt) in enumerate(pairs):
+        pls = lanes[p * S:(p + 1) * S]
+        cap = capacity or _default_capacity(max(len(src), len(tgt)))
+        src_p, src_m = pad_cloud(src, cap)
         tgt_p, tgt_m = pad_cloud(tgt, cap)
-        fin = registration_icp(
-            jnp.asarray(src_p), jnp.asarray(tgt_p), tight,
-            init=jnp.eye(4, dtype=jnp.float32),
-            max_iteration=final_icp_max_iter,
-            src_mask=jnp.asarray(src_m), tgt_mask=jnp.asarray(tgt_m),
-        )
+        c0 = src.mean(axis=0)
+        c1 = tgt.mean(axis=0)
+        cands = [T for T, _ in pls]
+        for R0 in seeds:
+            T0 = np.eye(4, dtype=np.float32)
+            T0[:3, :3] = R0
+            T0[:3, 3] = c1 - R0 @ c0
+            cands.append(T0)
+        C = len(cands)
+        sb = jnp.broadcast_to(jnp.asarray(src_p), (C,) + src_p.shape)
+        tb = jnp.broadcast_to(jnp.asarray(tgt_p), (C,) + tgt_p.shape)
+        smb = jnp.broadcast_to(jnp.asarray(src_m), (C,) + src_m.shape)
+        tmb = jnp.broadcast_to(jnp.asarray(tgt_m), (C,) + tgt_m.shape)
+        init = jnp.asarray(np.stack(cands))
+        for thr, it in ((3.0 * icp_thresh, 30), (icp_thresh, 30),
+                        (tight, final_icp_max_iter)):
+            fin = registration_icp_batched(
+                sb, tb, thr, init=init, max_iteration=it,
+                src_mask=smb, tgt_mask=tmb,
+            )
+            init = fin.transformation
+        fit = np.asarray(fin.fitness)
+        rmse = np.asarray(fin.inlier_rmse)
+        Tfin = np.asarray(fin.transformation)
+        # max fitness, ties broken by lower inlier RMSE
+        k_best = int(np.lexsort((rmse, -fit))[0])
         out.append(PairRegistration(
-            transform=np.asarray(fin.transformation) @ T,
-            fitness=float(fin.fitness),
-            inlier_rmse=float(fin.inlier_rmse),
-            n_corr=int(n_corr),
+            transform=Tfin[k_best],
+            fitness=float(fit[k_best]),
+            inlier_rmse=float(rmse[k_best]),
+            n_corr=int(pls[min(k_best, S - 1)][1]),
         ))
+        lane_diag.append([(float(fit[k]), Tfin[k]) for k in range(C)])
+    if return_lanes:
+        # Diagnostic channel (``return_lanes=True``): per pair, the
+        # (post-polish fitness, polished transform) of every seed lane —
+        # lets a harness ask WHY a pair failed (no lane in the basin vs the
+        # ranking picking a wrong lane). Not part of the serving API.
+        return out, lane_diag
     return out

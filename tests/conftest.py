@@ -14,7 +14,16 @@ import os
 # long as it runs before the first backend initialization.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# Conservative CPU codegen: this container is a firecracker VM that can
+# MIGRATE between physical hosts mid-session; XLA:CPU's LLVM JIT emitting
+# host-feature-specific AVX512/AMX code has segfaulted full-suite runs
+# three different ways (loading foreign cache entries, writing entries,
+# and plain backend_compile_and_load with the cache disabled). Capping the
+# ISA at AVX2 keeps every generated kernel valid on any plausible host.
+if "xla_cpu_max_isa" not in _flags:
+    _flags = (_flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

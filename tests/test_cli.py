@@ -269,7 +269,7 @@ class TestVisualize:
         # protocol numbers (the straggler mitigation is a scheduling change,
         # not a semantics change).
         main(["evaluate", "kitti", "--root", str(tmp_path), "--batch-size", "2",
-              "--max-points", "64", "--icp-chunk", "2"])
+              "--max-points", "64", "--experimental-icp-chunk", "2"])
         out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out2["n_pairs"] == out["n_pairs"]
         assert out2["success_rate"] == pytest.approx(out["success_rate"])
@@ -464,9 +464,9 @@ class TestRegisterCLI:
         """--icp-chunk must be rejected before the model/dataset load: it
         only routes the kitti protocol, and 0/negative chunks are invalid."""
         with pytest.raises(SystemExit, match="kitti protocol only"):
-            main(["evaluate", "3dmatch", "--icp-chunk", "100"])
+            main(["evaluate", "3dmatch", "--experimental-icp-chunk", "100"])
         with pytest.raises(SystemExit, match="icp-chunk must be >= 1"):
-            main(["evaluate", "kitti", "--icp-chunk", "0"])
+            main(["evaluate", "kitti", "--experimental-icp-chunk", "0"])
 
     def test_register_reads_model_config_sidecar(self, tmp_path, monkeypatch,
                                                  capsys):
