@@ -833,6 +833,22 @@ def cmd_visualize(args):
                 out["flow"] = stem + "_flow.png"
                 viz.plot_prediction_flow(np.asarray(dev["src"][0])[:n], pred,
                                          selected=selected, path=out["flow"])
+    if args.html:
+        # Interactive counterpart of the reference's draw_geometries windows
+        # (`/root/reference/visualize_3d_match.py:118-124,184-188`): one
+        # self-contained rotatable HTML scene with all computed layers.
+        from scream_tpu.utils.viz_html import export_registration_html
+
+        kw = {}
+        if args.params and not out.get("display_gated"):
+            kw["T_est"] = np.asarray(m.transform[0])
+            kw["src_pred"] = pred
+            if zero:
+                sel = np.flatnonzero(selected)[:400]
+                kw["corr"] = (np.asarray(dev["src"][0])[:n][sel], pred[sel])
+        out["html"] = export_registration_html(
+            stem + "_interactive.html", item["src"], item["tgt"], T_gt=T_gt,
+            title=f"{args.split} item {args.item}", **kw)
     print(json.dumps(out))
 
 
@@ -1027,6 +1043,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="emit model-view PNGs only when RE < this (deg), the "
                         "reference's display gate (visualize_3d_match.py:117); "
                         "set large to always emit")
+    v.add_argument("--html", action="store_true",
+                   help="also write an interactive self-contained HTML scene "
+                        "(rotatable clouds + correspondence lines, no "
+                        "display server needed — utils/viz_html.py)")
     v.add_argument("--max-points", type=int, default=None)
     v.add_argument("--d-model", type=int, default=None)
     v.add_argument("--self-layers", type=int, default=None)

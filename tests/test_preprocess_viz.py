@@ -279,3 +279,55 @@ def test_check_opengf_test_empty_dir(tmp_path):
 
     stats = check_opengf_test(str(tmp_path), verbose=False)
     assert stats == {"n_patches": 0.0, "n_points": 0.0, "max_height": 0.0}
+
+
+class TestVizHtml:
+    """The interactive HTML export (utils/viz_html.py): self-contained file,
+    embedded base64 float32 layers decode back bit-exact, correspondence
+    lines included, oversize clouds subsampled."""
+
+    def test_export_registration_html_roundtrip(self, tmp_path):
+        import base64
+        import json
+        import re
+
+        from scream_tpu.utils.viz_html import export_registration_html
+
+        rng = np.random.default_rng(0)
+        src = rng.standard_normal((200, 3)).astype(np.float32)
+        tgt = rng.standard_normal((300, 3)).astype(np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.1, 0.0, -0.2]
+        corr = (src[:50], src[:50] + 0.01)
+        path = export_registration_html(
+            str(tmp_path / "scene.html"), src, tgt, T_gt=T, T_est=T,
+            src_pred=src + 0.05, corr=corr, title="t")
+        html = open(path).read()
+        assert "<canvas" in html and "</html>" in html
+        data = json.loads(re.search(r"const DATA = (\{.*?\});\n", html,
+                                    re.S).group(1))
+        labels = [l["label"] for l in data["layers"]]
+        assert any("target" in l for l in labels)
+        assert any("estimate" in l for l in labels)
+        # layers decode back bit-exact
+        raw = np.frombuffer(base64.b64decode(data["layers"][0]["b64"]),
+                            "<f4").reshape(-1, 3)
+        np.testing.assert_array_equal(raw, tgt)
+        assert len(data["lines"]) == 1
+        # no external references: the file must work offline
+        assert "http://" not in html and "https://" not in html
+
+    def test_subsampling_caps_large_clouds(self, tmp_path):
+        import base64
+        import json
+        import re
+
+        from scream_tpu.utils.viz_html import export_scene_html
+
+        pts = np.random.default_rng(1).standard_normal((5000, 3)).astype(np.float32)
+        path = export_scene_html(str(tmp_path / "s.html"),
+                                 [(pts, "#fff", "big")], max_points=1000)
+        data = json.loads(re.search(r"const DATA = (\{.*?\});\n",
+                                    open(path).read(), re.S).group(1))
+        n = len(base64.b64decode(data["layers"][0]["b64"])) // 12
+        assert n == 1000
