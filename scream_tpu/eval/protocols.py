@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Callable, Dict, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from scream_tpu.config import EvalConfig
@@ -353,16 +354,23 @@ def evaluate_open_gf(apply_fn, params, loader, mesh=None) -> Dict[str, float]:
     tot_cd, tot_mae, tot_mse, n = 0.0, 0.0, 0.0, 0
     params = _replicate_params(params, mesh)
 
+    # ONE jitted program per batch shape: an eager body here dispatches
+    # every primitive as its own tunnel RPC (~30 ms each) — measured 45 s
+    # per batch vs sub-100 ms jitted at the 650-item OpenGF scale run.
+    @jax.jit
+    def _metrics(params, dsm, coarse, dsm_mask, coarse_mask, dem, dem_mask):
+        dem_pred = apply_fn(
+            params, dsm, coarse, dsm_mask, coarse_mask).astype(jnp.float32)
+        cd = chamfer_distance(dem_pred, dem, dsm_mask, dem_mask)
+        mae = height_mae(dem_pred, dem, dsm_mask & dem_mask)
+        mse = height_mse(dem_pred, dem, dsm_mask & dem_mask)
+        return cd, mae, mse
+
     def _dispatch(batch):
         dev = _to_device(batch, mesh=mesh)
-        dem_pred = apply_fn(
-            params, dev["dsm"], dev["dem_coarse"],
-            dev["dsm_mask"], dev["dem_coarse_mask"],
-        ).astype(jnp.float32)
-        cd = chamfer_distance(dem_pred, dev["dem"], dev["dsm_mask"], dev["dem_mask"])
-        mae = height_mae(dem_pred, dev["dem"], dev["dsm_mask"] & dev["dem_mask"])
-        mse = height_mse(dem_pred, dev["dem"], dev["dsm_mask"] & dev["dem_mask"])
-        return cd, mae, mse
+        return _metrics(params, dev["dsm"], dev["dem_coarse"],
+                        dev["dsm_mask"], dev["dem_coarse_mask"],
+                        dev["dem"], dev["dem_mask"])
 
     def _consume(pend):
         nonlocal tot_cd, tot_mae, tot_mse, n
