@@ -746,7 +746,12 @@ def icp_roofline():
     tgt_dn = b0["tgt"] / s + c
     sm, tm = b0["src_mask"] > 0, b0["tgt_mask"] > 0
     gt = denormalized_gt(b0["rot"], b0["trans"], b0["scale"], b0["center"])
-    host = np.random.default_rng(13)
+    # RUN-UNIQUE rng: with a fixed seed every dispatch in this function is
+    # byte-identical across invocations and the remote relay serves CACHED
+    # responses — including, observed round 4, identical profiler-trace
+    # content, so "re-measured" trace metrics were replays. Entropy-seed so
+    # each invocation traces fresh executions.
+    host = np.random.default_rng(int.from_bytes(os.urandom(8), "little"))
     init = np.asarray(gt).copy()
     init[:, :3, 3] += host.normal(0, 0.02, (BATCH, 3)).astype(np.float32)
     init = jnp.asarray(init)
