@@ -47,8 +47,10 @@ class TestMeshSpec:
     def test_parse_errors(self):
         with pytest.raises(ValueError, match="axis=N"):
             parse_mesh_spec("8")
+        # pipe= became a supported trainer axis in round 4 (pp_flagship);
+        # expert parallelism remains a library API.
         with pytest.raises(ValueError, match="unknown mesh axes"):
-            parse_mesh_spec("data=4,pipe=2")
+            parse_mesh_spec("data=4,expert=2")
         with pytest.raises(ValueError, match="model= with"):
             parse_mesh_spec("data=2,seq=2,model=2")
 
