@@ -273,6 +273,16 @@ def suite():
 
     host = np.random.default_rng(0)
 
+    # Measurement tooling: BENCH_SUITE_ONLY=kitti,opengf,serve,gan selects a
+    # subset of the suite classes (isolated re-runs for variance studies —
+    # the KITTI class alone costs minutes at the protocol's ICP 1000).
+    # Unset = all classes; the driver runs the defaults.
+    _only = {s.strip() for s in os.environ.get("BENCH_SUITE_ONLY", "").split(",")
+             if s.strip()}
+
+    def want(name):
+        return not _only or name in _only
+
     def emit(metric, value, unit):
         _emit({"metric": metric, "value": round(value, 2), "unit": unit})
 
@@ -319,17 +329,18 @@ def suite():
         np.asarray(b["src"])
         return b
 
-    _emit({"metric": "kitti_registration_pairs_per_sec",
-           "value": round(B / _timed(kitti_run, kitti_input), 2),
-           "unit": "pairs/sec", "icp_max_iter": kitti_icp_iters,
-           "batch": B, "n_points": NP, "extent_m": kitti_extent})
+    if want("kitti"):
+        _emit({"metric": "kitti_registration_pairs_per_sec",
+               "value": round(B / _timed(kitti_run, kitti_input), 2),
+               "unit": "pairs/sec", "icp_max_iter": kitti_icp_iters,
+               "batch": B, "n_points": NP, "extent_m": kitti_extent})
 
     # Same class through the straggler-mitigated path: chunked ICP with
     # host-side compaction (register_batch_requeue). Identical protocol
     # numbers; converged lanes stop riding to the slowest lane's 1000th
     # iteration. Emitting both rows quantifies the mitigation on hardware.
     kitti_chunk = int(os.environ.get("BENCH_KITTI_ICP_CHUNK", 100))
-    if kitti_chunk > 0:
+    if kitti_chunk > 0 and want("kitti"):
         from scream_tpu.geometry.icp import registration_icp_batched
         from scream_tpu.pipeline.register import register_batch_requeue
 
@@ -358,103 +369,111 @@ def suite():
                "extent_m": kitti_extent})
 
     # --- OpenGF DEM generation forward ---
-    Bd, Nd = 8, SUITE_DEM_POINTS
-    patches = [make_dem_patch(np.random.default_rng(i), n_dsm=Nd, n_dem=Nd)
-               for i in range(Bd)]
+    if want("opengf"):
+        Bd, Nd = 8, SUITE_DEM_POINTS
+        patches = [make_dem_patch(np.random.default_rng(i), n_dsm=Nd, n_dem=Nd)
+                   for i in range(Bd)]
 
-    class _Ds:
-        def __len__(self):
-            return Bd
+        class _Ds:
+            def __len__(self):
+                return Bd
 
-        def __getitem__(self, i):
-            return patches[i]
+            def __getitem__(self, i):
+                return patches[i]
 
-    db = next(iter(DEMLoader(_Ds(), batch_size=Bd, dsm_capacity=Nd,
-                             dem_capacity=Nd, coarse_capacity=Nd // 8)))
-    db = {k: jnp.asarray(v) for k, v in db.items()}
-    import dataclasses
+        db = next(iter(DEMLoader(_Ds(), batch_size=Bd, dsm_capacity=Nd,
+                                 dem_capacity=Nd, coarse_capacity=Nd // 8)))
+        db = {k: jnp.asarray(v) for k, v in db.items()}
+        import dataclasses
 
-    dem_model = DEMTransformer(dataclasses.replace(cfg, separate_stems=True))
-    dem_params = dem_model.init(jax.random.PRNGKey(0), db["dsm"], db["dem_coarse"],
-                                db["dsm_mask"], db["dem_coarse_mask"])["params"]
-    dem_fwd = jax.jit(lambda d: dem_model.apply(
-        {"params": dem_params}, d, db["dem_coarse"], db["dsm_mask"],
-        db["dem_coarse_mask"]))
+        dem_model = DEMTransformer(dataclasses.replace(cfg, separate_stems=True))
+        dem_params = dem_model.init(jax.random.PRNGKey(0), db["dsm"],
+                                    db["dem_coarse"], db["dsm_mask"],
+                                    db["dem_coarse_mask"])["params"]
+        dem_fwd = jax.jit(lambda d: dem_model.apply(
+            {"params": dem_params}, d, db["dem_coarse"], db["dsm_mask"],
+            db["dem_coarse_mask"]))
 
-    def dem_input(k):
-        x = db["dsm"] + jnp.asarray(
-            host.standard_normal(db["dsm"].shape).astype(np.float32) * 1e-4)
-        np.asarray(x)
-        return x
+        def dem_input(k):
+            x = db["dsm"] + jnp.asarray(
+                host.standard_normal(db["dsm"].shape).astype(np.float32) * 1e-4)
+            np.asarray(x)
+            return x
 
-    emit("opengf_dem_patches_per_sec", Bd / _timed(dem_fwd, dem_input),
-         "patches/sec")
+        emit("opengf_dem_patches_per_sec", Bd / _timed(dem_fwd, dem_input),
+             "patches/sec")
 
     # --- GT-free serving path (register_pairs: batched forward + vmapped
     # always-accept ICP, no GT anywhere) — the `register --manifest` class ---
-    from scream_tpu.pipeline.register import _register_pairs_batch
+    if want("serve"):
+        from scream_tpu.pipeline.register import _register_pairs_batch
 
-    Bg, Ng = 8, SUITE_SERVE_POINTS
-    gds = SyntheticPairDataset(length=Bg, n_src=Ng - 64, n_tgt=Ng - 32, seed=3)
-    gb = {k: jnp.asarray(v) for k, v in next(iter(PairLoader(
-        gds, batch_size=Bg, src_capacity=Ng, tgt_capacity=Ng))).items()}
-    gb = {k: gb[k] for k in ("src", "tgt", "src_mask", "tgt_mask", "scale",
-                             "center")}
+        Bg, Ng = 8, SUITE_SERVE_POINTS
+        gds = SyntheticPairDataset(length=Bg, n_src=Ng - 64, n_tgt=Ng - 32,
+                                   seed=3)
+        gb = {k: jnp.asarray(v) for k, v in next(iter(PairLoader(
+            gds, batch_size=Bg, src_capacity=Ng, tgt_capacity=Ng))).items()}
+        gb = {k: gb[k] for k in ("src", "tgt", "src_mask", "tgt_mask", "scale",
+                                 "center")}
 
-    def serve_run(b):
-        return _register_pairs_batch(apply_fn, params, b, 0.1, "tgt", 0.1,
-                                     ICP_ITERS)[0]
+        def serve_run(b):
+            return _register_pairs_batch(apply_fn, params, b, 0.1, "tgt", 0.1,
+                                         ICP_ITERS)[0]
 
-    def serve_input(k):
-        b = dict(gb)
-        b["src"] = gb["src"] + jnp.asarray(
-            host.standard_normal(gb["src"].shape).astype(np.float32) * 1e-4)
-        np.asarray(b["src"])
-        return b
+        def serve_input(k):
+            b = dict(gb)
+            b["src"] = gb["src"] + jnp.asarray(
+                host.standard_normal(gb["src"].shape).astype(np.float32) * 1e-4)
+            np.asarray(b["src"])
+            return b
 
-    _emit({"metric": "gt_free_serving_pairs_per_sec",
-           "value": round(Bg / _timed(serve_run, serve_input), 2),
-           "unit": "pairs/sec", "batch": Bg, "n_points": Ng,
-           "note": "register_pairs batched GT-free path (register --manifest)"})
+        _emit({"metric": "gt_free_serving_pairs_per_sec",
+               "value": round(Bg / _timed(serve_run, serve_input), 2),
+               "unit": "pairs/sec", "batch": Bg, "n_points": Ng,
+               "note": "register_pairs batched GT-free path "
+                       "(register --manifest)"})
 
     # --- adversarial (GAN) training step ---
-    Bt, Nt = 8, SUITE_GAN_POINTS
-    tds = SyntheticPairDataset(length=Bt, n_src=Nt - 128, n_tgt=Nt - 64, seed=2)
-    tb = {k: jnp.asarray(v) for k, v in next(iter(PairLoader(
-        tds, batch_size=Bt, src_capacity=Nt, tgt_capacity=Nt))).items()}
-    gmodel = PointTransformer(cfg)
-    gparams = gmodel.init(jax.random.PRNGKey(1), tb["src"], tb["tgt"],
-                          tb["src_mask"], tb["tgt_mask"],
-                          jnp.swapaxes(tb["trans"], -1, -2))["params"]
-    from scream_tpu.models.gan import PatchDiscriminator, images_to_nhwc
-    from scream_tpu.ops.render import render_depth_images
-    from scream_tpu.train.steps import make_disc_logit_fn
+    if want("gan"):
+        Bt, Nt = 8, SUITE_GAN_POINTS
+        tds = SyntheticPairDataset(length=Bt, n_src=Nt - 128, n_tgt=Nt - 64,
+                                   seed=2)
+        tb = {k: jnp.asarray(v) for k, v in next(iter(PairLoader(
+            tds, batch_size=Bt, src_capacity=Nt, tgt_capacity=Nt))).items()}
+        gmodel = PointTransformer(cfg)
+        gparams = gmodel.init(jax.random.PRNGKey(1), tb["src"], tb["tgt"],
+                              tb["src_mask"], tb["tgt_mask"],
+                              jnp.swapaxes(tb["trans"], -1, -2))["params"]
+        from scream_tpu.models.gan import PatchDiscriminator, images_to_nhwc
+        from scream_tpu.ops.render import render_depth_images
+        from scream_tpu.train.steps import make_disc_logit_fn
 
-    disc = PatchDiscriminator(input_nc=2)
-    imgs0 = render_depth_images(tb["src"], tb["tgt"], tb["src_mask"],
-                                tb["tgt_mask"], rho=24.0, width=64)
-    dvars = disc.init(jax.random.PRNGKey(2), images_to_nhwc(imgs0), train=False)
-    opt = optim.generator_optimizer(TrainConfig(use_gan=True), 100)
-    step = make_registration_train_step(
-        gmodel, opt, use_gan=True, disc_apply=make_disc_logit_fn(disc),
-        render_cfg=RenderConfig(), gan_weight=0.1,
-    )
-    state_box = [init_train_state(gparams, opt)]
+        disc = PatchDiscriminator(input_nc=2)
+        imgs0 = render_depth_images(tb["src"], tb["tgt"], tb["src_mask"],
+                                    tb["tgt_mask"], rho=24.0, width=64)
+        dvars = disc.init(jax.random.PRNGKey(2), images_to_nhwc(imgs0),
+                          train=False)
+        opt = optim.generator_optimizer(TrainConfig(use_gan=True), 100)
+        step = make_registration_train_step(
+            gmodel, opt, use_gan=True, disc_apply=make_disc_logit_fn(disc),
+            render_cfg=RenderConfig(), gan_weight=0.1,
+        )
+        state_box = [init_train_state(gparams, opt)]
 
-    def train_run(b):
-        state, metrics, fake = step(state_box[0], b, dvars)
-        state_box[0] = state
-        return fake
+        def train_run(b):
+            state, metrics, fake = step(state_box[0], b, dvars)
+            state_box[0] = state
+            return fake
 
-    def train_input(k):
-        b = dict(tb)
-        b["src"] = tb["src"] + jnp.asarray(
-            host.standard_normal(tb["src"].shape).astype(np.float32) * 1e-4)
-        np.asarray(b["src"])
-        return b
+        def train_input(k):
+            b = dict(tb)
+            b["src"] = tb["src"] + jnp.asarray(
+                host.standard_normal(tb["src"].shape).astype(np.float32) * 1e-4)
+            np.asarray(b["src"])
+            return b
 
-    emit("adversarial_train_pairs_per_sec", Bt / _timed(train_run, train_input),
-         "pairs/sec")
+        emit("adversarial_train_pairs_per_sec",
+             Bt / _timed(train_run, train_input), "pairs/sec")
 
 
 def _forward_flops(n_src, n_tgt, d=256, self_layers=6, cross_layers=6,
@@ -1116,10 +1135,14 @@ if __name__ == "__main__":
             sys.exit(2)
     _probe_backend()
     _start_watchdog(int(os.environ.get("BENCH_WATCHDOG_S", 1200)))
+    # BENCH_SUITE_ONLY (isolated suite-class re-runs, see suite()) also skips
+    # the headline main() — the driver never sets it.
+    suite_only = bool(os.environ.get("BENCH_SUITE_ONLY")) and "--suite" in args
     try:
-        main()
-        if write_path is not None:
-            _flush(write_path)
+        if not suite_only:
+            main()
+            if write_path is not None:
+                _flush(write_path)
         if "--suite" in args:
             suite()
             if write_path is not None:
