@@ -279,6 +279,14 @@ def suite():
     # Unset = all classes; the driver runs the defaults.
     _only = {s.strip() for s in os.environ.get("BENCH_SUITE_ONLY", "").split(",")
              if s.strip()}
+    _known = {"kitti", "opengf", "serve", "gan"}
+    if _only - _known:
+        # A typo'd token would silently deselect every class and the suite
+        # would "run" producing zero metrics — fail loudly instead.
+        sys.stderr.write(
+            f"bench.py: unknown BENCH_SUITE_ONLY token(s) {sorted(_only - _known)} "
+            f"(known: {sorted(_known)})\n")
+        sys.exit(2)
 
     def want(name):
         return not _only or name in _only
@@ -296,6 +304,11 @@ def suite():
     # (`/root/reference/evaluate_kitti.py:69`) gets its real selectivity —
     # at the historic extent=1 the threshold covered half the cloud and the
     # bounded-NN tile pruning never fired.
+    # NOTE: this KITTI dataset/model/params setup is shared state — the
+    # want("serve") class below reuses `apply_fn`/`params`, so it stays
+    # ungated (gating it under want("kitti") would NameError the serve-only
+    # isolated re-run). With BENCH_SUITE_ONLY=opengf/gan it still pays this
+    # one-time init; that cost is backend init, not a timed measurement.
     B, NP = 8, SUITE_KITTI_POINTS
     kitti_extent = float(os.environ.get("BENCH_KITTI_EXTENT", 40.0))
     ds = SyntheticPairDataset(length=B, n_src=NP - 512, n_tgt=NP - 256, seed=1,
@@ -1137,6 +1150,13 @@ if __name__ == "__main__":
     _start_watchdog(int(os.environ.get("BENCH_WATCHDOG_S", 1200)))
     # BENCH_SUITE_ONLY (isolated suite-class re-runs, see suite()) also skips
     # the headline main() — the driver never sets it.
+    if os.environ.get("BENCH_SUITE_ONLY") and "--suite" not in args:
+        # Without --suite the env var would be silently ignored: the
+        # multi-minute headline main() runs and zero suite metrics appear.
+        sys.stderr.write(
+            "bench.py: BENCH_SUITE_ONLY is set but --suite is absent — "
+            "pass --suite to run the selected suite classes\n")
+        sys.exit(2)
     suite_only = bool(os.environ.get("BENCH_SUITE_ONLY")) and "--suite" in args
     try:
         if not suite_only:

@@ -66,17 +66,15 @@ def main(argv=None):
                               b0["src_mask"], b0["tgt_mask"],
                               jnp.swapaxes(b0["trans"], -1, -2))["params"]
             params = load_params(args.ckpt, init)
-        out = evaluate_kitti(
-            apply_fn, params, loader, dis_thresh=ec.dis_thresh,
-            icp_thresh=ec.icp_thresh, icp_max_iter=ec.icp_max_iter,
-            success_re_deg=ec.success_re_deg, success_te=ec.success_te,
-            center_mode=ec.center_mode)
         rec = {"scale": scale, "pairs": args.pairs, "seed": args.seed}
-        rec.update({k: round(float(v), 4) for k, v in out.items()})
         if args.per_pair:
+            # One registration pass: derive the evaluate_kitti aggregates
+            # (success_rate / success_rre / success_rte — same formulas as
+            # scream_tpu/eval/protocols.py:evaluate_kitti) from the same
+            # per-pair metrics that feed the failure table, instead of
+            # running the multi-minute ICP-1000 pass twice.
             res, tes = [], []
-            for batch in PairLoader(ds, batch_size=args.batch,
-                                    src_capacity=scale):
+            for batch in loader:
                 dev = {k: jnp.asarray(v) for k, v in batch.items()}
                 m = register_batch(
                     apply_fn, params, dev, dis_thresh=ec.dis_thresh,
@@ -84,6 +82,14 @@ def main(argv=None):
                     icp_max_iter=ec.icp_max_iter, center_mode=ec.center_mode)
                 res.extend(np.asarray(m.re_deg).tolist())
                 tes.extend(np.asarray(m.te).tolist())
+            re_a, te_a = np.asarray(res), np.asarray(tes)
+            ok = (re_a <= ec.success_re_deg) & (te_a <= ec.success_te)
+            rec.update({
+                "success_rate": round(float(ok.mean()), 4),
+                "success_rre": round(float(re_a[ok].sum() / max(ok.sum(), 1)), 4),
+                "success_rte": round(float(te_a[ok].sum() / max(ok.sum(), 1)), 4),
+                "n_pairs": len(res),
+            })
             fails = [
                 {"pair": i, "re_deg": round(r, 2), "te": round(t, 3)}
                 for i, (r, t) in enumerate(zip(res, tes))
@@ -92,6 +98,13 @@ def main(argv=None):
             rec["median_re_deg"] = round(float(np.median(res)), 3)
             rec["median_te"] = round(float(np.median(tes)), 4)
             rec["failures"] = fails
+        else:
+            out = evaluate_kitti(
+                apply_fn, params, loader, dis_thresh=ec.dis_thresh,
+                icp_thresh=ec.icp_thresh, icp_max_iter=ec.icp_max_iter,
+                success_re_deg=ec.success_re_deg, success_te=ec.success_te,
+                center_mode=ec.center_mode)
+            rec.update({k: round(float(v), 4) for k, v in out.items()})
         print(json.dumps(rec), flush=True)
 
 

@@ -13,7 +13,9 @@ to twice; genuine test failures (exit code 1) are never retried. The
 aggregate summary matches pytest semantics: exit 0 iff every test passed.
 
 Usage:
-    python scripts/run_suite.py            # whole suite
+    python scripts/run_suite.py            # whole suite (~38 min on 1 core)
+    python scripts/run_suite.py --quick    # smoke tier: one file per
+                                           # subsystem (~5 min), see QUICK
     python scripts/run_suite.py -k nn      # forwarded pytest args
 """
 
@@ -28,6 +30,24 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# --quick tier: one representative file per subsystem, chosen for coverage
+# per wall-second (skips the bench smoke, the parallel heavies, torch
+# parity, and the protocol A/B exec harness — those only run in the full
+# tier). Keep this list ≤ ~5 min total on the 1-core container.
+QUICK = [
+    "test_geometry_so3_se3.py",      # math core (SO3/SE3/lie numerics)
+    "test_geometry_kabsch_pairwise.py",
+    "test_nn_pallas.py",             # NN kernels (interpret mode)
+    "test_ops_voxel_icp.py",         # voxel + ICP semantics
+    "test_models.py",                # flax model stacks
+    "test_data.py",                  # datasets/transforms/batching
+    "test_pipeline_register.py",     # end-to-end pose solve
+    "test_eval_protocols.py",        # protocol bookkeeping
+    "test_train.py",                 # trainer step/resume
+    "test_native.py",                # C++ backend
+    "test_graft_entry.py",           # driver entry points
+]
+
 
 def run_file(path: str, extra, attempt: int):
     cmd = [sys.executable, "-m", "pytest", path, "-q", "--no-header"] + extra
@@ -41,12 +61,22 @@ def run_file(path: str, extra, attempt: int):
 
 def main():
     extra = sys.argv[1:]
+    quick = "--quick" in extra
+    if quick:
+        extra = [a for a in extra if a != "--quick"]
     files = sorted(glob.glob(os.path.join(REPO, "tests", "test_*.py")))
+    if quick:
+        files = [p for p in files if os.path.basename(p) in QUICK]
+        missing = set(QUICK) - {os.path.basename(p) for p in files}
+        if missing:
+            print(f"# run_suite --quick: QUICK names missing on disk: "
+                  f"{sorted(missing)}", flush=True)
     total = dict.fromkeys(("passed", "failed", "skipped", "error"), 0)
     crashed, failed_files = [], []
     t0 = time.time()
     for path in files:
         name = os.path.basename(path)
+        tf = time.time()
         for attempt in range(3):
             rc, counts, tail, out = run_file(path, extra, attempt)
             if rc in (0, 1, 5):  # clean run / test failures / nothing collected
@@ -61,7 +91,8 @@ def main():
         for k in total:
             total[k] += counts[k]
         status = "ok" if rc in (0, 5) else "FAIL"
-        print(f"{name:36s} {status:4s} {tail}", flush=True)
+        print(f"{name:36s} {status:4s} [{time.time() - tf:6.1f}s] {tail}",
+              flush=True)
         if rc == 1:
             failed_files.append(name)
             sys.stdout.write(out[-3000:] + "\n")
