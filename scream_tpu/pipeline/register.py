@@ -362,6 +362,18 @@ class PairRegistration(NamedTuple):
     fitness: float  # ICP inlier fraction of src points
     inlier_rmse: float  # ICP inlier RMSE (same units as the input clouds)
     n_corr: int  # correspondences behind the initial Kabsch solve
+    # Ambiguity channel (populated by the robust multi-start path only;
+    # NaN/False elsewhere). runner_up_fitness is the best post-polish
+    # fitness among lanes whose pose is DISTINCT from the winner's (>15°
+    # rotation or a translation gap beyond the ICP radius — lanes that
+    # merely re-converged to the winner's basin are not competitors).
+    # score_margin = (fitness - runner_up_fitness) / fitness; `ambiguous`
+    # marks margins inside the measured near-symmetry band (the round-4
+    # pair-51-class failure sat at margin ~0.18 while clean full-SO(3)
+    # winners measured >=0.3 — docs/EVAL_SNAPSHOT.md).
+    runner_up_fitness: float = float("nan")
+    score_margin: float = float("nan")
+    ambiguous: bool = False
 
 
 def _normalize_union(src: np.ndarray, tgt: np.ndarray, normalize: str):
@@ -851,6 +863,7 @@ def register_pairs_robust(
     starts: str = "axis7",
     batch_size: Optional[int] = None,
     return_lanes: bool = False,
+    ambiguity_band: float = 0.25,
 ) -> list:
     """Robust multi-start search over MANY pairs — batched robust serving.
 
@@ -975,11 +988,34 @@ def register_pairs_robust(
         Tfin = np.asarray(fin.transformation)
         # max fitness, ties broken by lower inlier RMSE
         k_best = int(np.lexsort((rmse, -fit))[0])
+        # Ambiguity: the best fitness among lanes whose pose is DISTINCT
+        # from the winner's — rotation geodesic angle > 15° (the protocol's
+        # own RE gate: closer poses are the same answer for the protocol)
+        # or a translation gap beyond the full ICP radius. Lanes that
+        # polished into the winner's basin are duplicates, not competitors.
+        Rb = Tfin[k_best, :3, :3]
+        tr = np.einsum("ij,kij->k", Rb, Tfin[:, :3, :3])  # trace(Rb^T Rk)
+        ang = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+        t_gap = np.linalg.norm(Tfin[:, :3, 3] - Tfin[k_best, :3, 3], axis=-1)
+        distinct = (ang > 15.0) | (t_gap > icp_thresh)
+        distinct[k_best] = False
+        f_best = float(fit[k_best])
+        if distinct.any() and f_best > 0.0:
+            runner = float(fit[distinct].max())
+            margin = (f_best - runner) / f_best
+        elif f_best > 0.0:
+            # Every lane agrees with the winner: maximal confidence.
+            runner, margin = 0.0, 1.0
+        else:
+            runner, margin = 0.0, 0.0  # nothing locked anywhere
         out.append(PairRegistration(
             transform=Tfin[k_best],
-            fitness=float(fit[k_best]),
+            fitness=f_best,
             inlier_rmse=float(rmse[k_best]),
             n_corr=int(pls[min(k_best, S - 1)][1]),
+            runner_up_fitness=runner,
+            score_margin=margin,
+            ambiguous=bool(margin < ambiguity_band),
         ))
         lane_diag.append([(float(fit[k]), Tfin[k]) for k in range(C)])
     if return_lanes:

@@ -98,11 +98,13 @@ def main(argv=None):
             gt[:3, :3] = pair["rot"]
             gt[:3, 3] = pair["trans"].reshape(3)
             re, te = err(jnp.asarray(out.transform), jnp.asarray(gt))
-            res.append((float(re), float(te), out.fitness))
+            res.append((float(re), float(te), out.fitness,
+                        out.score_margin, out.ambiguous))
         wall = time.perf_counter() - tic
         re_deg = np.array([r[0] for r in res])
         te = np.array([r[1] for r in res])
-        recall = float(np.mean((re_deg <= 15.0) & (te <= 0.3)))
+        ok = (re_deg <= 15.0) & (te <= 0.3)
+        recall = float(np.mean(ok))
         row = {
             "passes": n_passes,
             "starts": args.starts if n_passes == 0 else None,
@@ -112,6 +114,16 @@ def main(argv=None):
             "mean_fitness": round(float(np.mean([r[2] for r in res])), 3),
             "wall_s": round(wall, 1),
         }
+        if n_passes == 0:
+            # Ambiguity-band calibration data (robust path only): the
+            # per-pair score margins, split by protocol success, decide
+            # where the near-symmetry band sits (PairRegistration docs).
+            margins = np.array([r[3] for r in res])
+            row["margin_succ_min"] = round(float(margins[ok].min()), 3) if ok.any() else None
+            row["margin_fail_max"] = (round(float(margins[~ok].max()), 3)
+                                      if (~ok).any() else None)
+            row["margins_failed"] = [round(float(m), 3) for m in margins[~ok]]
+            row["ambiguous_frac"] = round(float(np.mean([r[4] for r in res])), 3)
         results[n_passes] = row
         print(json.dumps(row))
     return results

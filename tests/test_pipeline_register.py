@@ -588,3 +588,60 @@ class TestRegisterBatch:
         np.testing.assert_allclose(
             np.asarray(T[:, :3, 3:]), np.asarray(b["trans"]), atol=1e-4
         )
+
+
+class TestAmbiguitySignal:
+    """PairRegistration's ambiguity channel (robust path): a DISTINCT pose
+    scoring near the winner must set ``ambiguous``; clean geometry must not.
+    Round-4 motivation: the one residual full-SO(3) failure (pair-51 class)
+    was a near-symmetric lock whose top-2 lane scores sat within 18% — the
+    lane table knew, the public result didn't (docs/EVAL_SNAPSHOT.md)."""
+
+    @staticmethod
+    def _identity_oracle():
+        # Model that "predicts" the source unchanged: with corr="src_pred"
+        # the Kabsch solve is identity and the pose is decided purely by
+        # each seed's ICP basin — isolates the geometry's own ambiguity.
+        return lambda params, s_n, t_n, sm, tm, c: s_n
+
+    def test_fourfold_symmetric_cloud_flags_ambiguous(self):
+        from scream_tpu.pipeline import register_pair_robust
+
+        rng = np.random.default_rng(21)
+        p = rng.uniform(-1, 1, (80, 3)).astype(np.float32)
+        rz = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
+                      np.float32)
+        # Exact 4-fold symmetry about z: the 90-degree-rotated pose maps the
+        # cloud onto itself, so the +-90 z seeds' lanes tie the identity
+        # lane's fitness at a 90-degree-distinct pose.
+        src = np.concatenate([p, p @ rz.T, p @ (rz @ rz).T,
+                              p @ (rz @ rz @ rz).T]).astype(np.float32)
+        res = register_pair_robust(self._identity_oracle(), None, src,
+                                   src.copy(), corr="src_pred",
+                                   dis_thresh=10.0)
+        assert res.ambiguous
+        assert res.score_margin < 0.1
+        assert res.runner_up_fitness > 0.8 * res.fitness
+
+    def test_asymmetric_cloud_is_unambiguous(self):
+        from scream_tpu.pipeline import register_pair_robust
+
+        rng = np.random.default_rng(22)
+        src = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+        res = register_pair_robust(self._identity_oracle(), None, src,
+                                   src.copy(), corr="src_pred",
+                                   dis_thresh=10.0)
+        assert not res.ambiguous
+        assert res.score_margin > 0.5
+        assert res.fitness > 0.9
+
+    def test_non_robust_paths_leave_defaults(self):
+        from scream_tpu.pipeline import register_pair
+
+        rng = np.random.default_rng(23)
+        src = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
+        res = register_pair(self._identity_oracle(), None, src, src.copy(),
+                            corr="src_pred", dis_thresh=10.0)
+        assert np.isnan(res.runner_up_fitness)
+        assert np.isnan(res.score_margin)
+        assert res.ambiguous is False
