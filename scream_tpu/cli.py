@@ -378,7 +378,18 @@ def cmd_evaluate(args):
                                       with_info=args.protocol.startswith("3d"))
         if args.protocol == "kitti" and not isinstance(ds, SyntheticPairDataset):
             ds = protocols.SkipDataset(ds, (124, 142))
-        if args.bucketed:
+        if getattr(args, "cache_dir", None):
+            # Pre-collated bucket-shard cache: batches stream as memmap
+            # slices with zero per-item host work (the at-scale eval was
+            # 25-30x loader-bound on small hosts — data/collated.py).
+            # Built on first use; identical bucket ladder and padding as
+            # --bucketed, so metrics are unchanged.
+            from scream_tpu.data import collated_or_build
+
+            loader = collated_or_build(
+                ds, args.cache_dir, batch_size=args.batch_size,
+                buckets=_buckets_for(cap, smallest=1024))
+        elif args.bucketed:
             from scream_tpu.data import BucketedPairLoader
 
             buckets = _buckets_for(cap, smallest=1024)
@@ -409,6 +420,25 @@ def cmd_evaluate(args):
 def cmd_preprocess(args):
     from scream_tpu.data import preprocess as pp
 
+    if args.task == "collate":
+        # Pre-build the bucket-shard cache for an already-preprocessed eval
+        # split (same dataset construction as `evaluate --cache-dir`).
+        from scream_tpu.data import PairDataset, build_collated_cache
+        from scream_tpu import eval as protocols
+
+        split, normalize = EVAL_SPLITS[args.protocol]
+        if args.protocol == "opengf":
+            raise SystemExit("preprocess collate supports the registration "
+                             "protocols (the OpenGF eval is not loader-bound)")
+        ds = PairDataset(args.root, split, normalize=normalize,
+                         with_info=args.protocol.startswith("3d"),
+                         max_points=args.max_points)
+        if args.protocol == "kitti":
+            ds = protocols.SkipDataset(ds, (124, 142))
+        meta = build_collated_cache(
+            ds, args.out, buckets=_buckets_for(args.max_points, smallest=1024))
+        print(json.dumps(meta))
+        return
     if args.task == "kitti":
         from scream_tpu.data.raw import KittiOdometry
 
@@ -657,14 +687,29 @@ def cmd_register(args):
                 icp_thresh=args.icp_thresh, icp_max_iter=args.icp_max_iter,
                 batch_size=args.batch_size, passes=args.passes, mesh=mesh,
             )
+        n_amb = 0
         for i, res in enumerate(results):
-            print(json.dumps({
+            line = {
                 "pair": i,
                 "transform": res.transform.tolist(),
                 "fitness": res.fitness,
                 "inlier_rmse": res.inlier_rmse,
                 "n_corr": res.n_corr,
-            }))
+            }
+            if args.robust:
+                # Ambiguity channel: a small margin means a DISTINCT pose
+                # scored nearly as well as the winner (near-symmetric
+                # geometry) — the answer may be a symmetry flip.
+                line["runner_up_fitness"] = res.runner_up_fitness
+                line["score_margin"] = res.score_margin
+                line["ambiguous"] = res.ambiguous
+                n_amb += bool(res.ambiguous)
+            print(json.dumps(line))
+        if args.robust and n_amb:
+            print(f"[cli] WARNING: {n_amb}/{len(results)} pair(s) flagged "
+                  "ambiguous (a distinct pose scored within the "
+                  "near-symmetry band of the winner — likely symmetric "
+                  "geometry; inspect score_margin)", file=sys.stderr)
         if args.out:
             # Stacked (P, 4, 4) transforms, manifest order.
             np.save(args.out, np.stack([r.transform for r in results]))
@@ -689,6 +734,14 @@ def cmd_register(args):
         "inlier_rmse": res.inlier_rmse,
         "n_corr": res.n_corr,
     }
+    if args.robust:
+        out["runner_up_fitness"] = res.runner_up_fitness
+        out["score_margin"] = res.score_margin
+        out["ambiguous"] = res.ambiguous
+        if res.ambiguous:
+            print("[cli] WARNING: result flagged ambiguous — a distinct "
+                  f"pose scored within {res.score_margin:.0%} of the winner "
+                  "(near-symmetric geometry)", file=sys.stderr)
     if args.out:
         np.save(args.out, res.transform)
         out["saved"] = args.out
@@ -913,6 +966,10 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--cross-layers", type=int, default=None)
     e.add_argument("--bucketed", action="store_true",
                    help="group pairs by cloud size (one compile per bucket)")
+    e.add_argument("--cache-dir", default=None,
+                   help="pre-collated bucket-shard cache dir (built on "
+                        "first use): batches stream as memmap slices, no "
+                        "per-item host work — the at-scale fast path")
     e.add_argument("--dis-thresh", type=float, default=None,
                    help="NN correspondence threshold (protocol preset default)")
     e.add_argument("--rmse-thresh", type=float, default=None,
@@ -1004,9 +1061,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.set_defaults(fn=cmd_register)
 
     pr = sub.add_parser("preprocess", help="raw data -> .npy artifacts")
-    pr.add_argument("task", choices=["3dmatch", "kitti", "opengf"])
+    pr.add_argument("task", choices=["3dmatch", "kitti", "opengf", "collate"])
     pr.add_argument("--root", required=True)
     pr.add_argument("--out", default="data")
+    pr.add_argument("--protocol", choices=sorted(EVAL_SPLITS), default="3dmatch",
+                    help="(collate) which eval split/normalization to collate")
+    pr.add_argument("--max-points", type=int, default=4096,
+                    help="(collate) padding-bucket ceiling")
     pr.set_defaults(fn=cmd_preprocess)
 
     b = sub.add_parser("bench", help="run the throughput benchmark")

@@ -17,6 +17,12 @@ from scream_tpu.data.loader import (
     prefetch_to_device,
     HostShardDataset,
 )
+from scream_tpu.data.collated import (
+    CollatedPairLoader,
+    build_collated_cache,
+    collated_or_build,
+    has_collated_cache,
+)
 
 __all__ = [
     "preprocess",
@@ -37,4 +43,8 @@ __all__ = [
     "PairLoader",
     "prefetch_to_device",
     "HostShardDataset",
+    "CollatedPairLoader",
+    "build_collated_cache",
+    "collated_or_build",
+    "has_collated_cache",
 ]

@@ -219,6 +219,20 @@ class TestVisualize:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["n_pairs"] == 4
 
+        # --cache-dir: first call builds the collated bucket shards, second
+        # streams them with zero per-item work; metrics must equal the
+        # bucketed loader's exactly (same ladder, same padding).
+        cache = tmp_path / "collated"
+        main(["evaluate", "3dmatch", "--root", str(tmp_path), "--batch-size",
+              "2", "--cache-dir", str(cache)])
+        built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert built == out
+        assert (cache / "collated_meta.json").exists()
+        main(["evaluate", "3dmatch", "--root", str(tmp_path), "--batch-size",
+              "2", "--cache-dir", str(cache)])
+        reused = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert reused == out
+
     def test_evaluate_kitti_wires_skip_items(self, capsys, tmp_path, monkeypatch):
         """`evaluate kitti` on artifact data must wrap the dataset in
         SkipDataset((124, 142)) — the reference's skipped eval items
@@ -361,6 +375,10 @@ class TestRegisterCLI:
             T = np.asarray(r["transform"])
             assert T.shape == (4, 4) and np.isfinite(T).all()
             assert 0.0 <= r["fitness"] <= 1.0
+            # Robust mode surfaces the ambiguity channel per pair.
+            assert isinstance(r["ambiguous"], bool)
+            assert np.isfinite(r["score_margin"])
+            assert np.isfinite(r["runner_up_fitness"])
 
     def test_register_manifest_mesh_sharded(self, capsys, tmp_path):
         """`register --manifest --mesh data=2`: the serving dispatch shards

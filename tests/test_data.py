@@ -519,3 +519,88 @@ class TestKittiAugmentConvention:
                 Rotation.from_euler("zyx", e).as_matrix(),
                 atol=1e-12,
             )
+
+
+class TestCollatedCache:
+    """Pre-collated bucket-shard cache (`data/collated.py`): the at-scale
+    eval fast path must reproduce the bucketed loader's batches exactly
+    (same bucket ladder, same padding, same sidecars) with zero per-item
+    work at stream time."""
+
+    def _ds(self, tmp_path, n=11, with_info=False):
+        split = tmp_path / "3DMatch_test"
+        info = split / "info"
+        info.mkdir(parents=True, exist_ok=True)
+        rng = np.random.default_rng(3)
+        names = []
+        for i in range(n):
+            ns = int(rng.integers(50, 1500))
+            nt = int(rng.integers(50, 1500))
+            np.save(split / f"src{i}.npy", rng.standard_normal((ns, 3)))
+            np.save(split / f"tgt{i}.npy", rng.standard_normal((nt, 3)))
+            np.save(split / f"T{i}.npy", np.eye(4))
+            if with_info:
+                np.save(info / f"covariance{i}.npy",
+                        np.eye(6, dtype=np.float32))
+                np.save(info / f"idx{i}.npy", np.asarray([i, i + 2]))
+                names.append("7-scenes-redkitchen")
+        if with_info:
+            (info / "scene_names.txt").write_text("\n".join(names) + "\n")
+        from scream_tpu.data import PairDataset
+
+        return PairDataset(str(tmp_path), "3DMatch_test",
+                           with_info=with_info)
+
+    def _cat_by_cap(self, loader):
+        out = {}
+        for b in loader:
+            cap = b["src"].shape[1]
+            out.setdefault(cap, []).append(b)
+        return {
+            cap: {k: np.concatenate([b[k] for b in bs]) for k in bs[0]}
+            for cap, bs in out.items()
+        }
+
+    def test_stream_matches_bucketed_loader_exactly(self, tmp_path):
+        from scream_tpu.data import (BucketedPairLoader, CollatedPairLoader,
+                                     build_collated_cache)
+
+        ds = self._ds(tmp_path, with_info=True)
+        buckets = (256, 1024, 2048)
+        cache = tmp_path / "cache"
+        meta = build_collated_cache(ds, str(cache), buckets=buckets,
+                                    verbose=False)
+        assert meta["n_items"] == len(ds)
+        ref = self._cat_by_cap(BucketedPairLoader(ds, batch_size=4,
+                                                  buckets=buckets))
+        got = self._cat_by_cap(CollatedPairLoader(str(cache), batch_size=3))
+        assert sorted(got) == sorted(ref)
+        for cap in ref:
+            assert sorted(got[cap]) == sorted(ref[cap])
+            for k in ref[cap]:
+                np.testing.assert_array_equal(got[cap][k], ref[cap][k], err_msg=f"{cap}/{k}")
+
+    def test_build_once_then_reuse_without_touching_dataset(self, tmp_path):
+        from scream_tpu.data import build_collated_cache, collated_or_build
+
+        ds = self._ds(tmp_path, n=5)
+        cache = tmp_path / "cache"
+        build_collated_cache(ds, str(cache), buckets=(2048,), verbose=False)
+
+        class _Poison:
+            def __len__(self):
+                return 5
+
+            def __getitem__(self, i):
+                raise AssertionError("cache present: dataset must not be read")
+
+        loader = collated_or_build(_Poison(), str(cache), batch_size=2,
+                                   buckets=(2048,))
+        assert len(loader) == 3
+        assert sum(len(b["src"]) for b in loader) == 5
+
+    def test_missing_cache_raises(self, tmp_path):
+        from scream_tpu.data import CollatedPairLoader
+
+        with pytest.raises(FileNotFoundError, match="collated"):
+            CollatedPairLoader(str(tmp_path / "nope"), batch_size=2)
