@@ -225,6 +225,7 @@ def cmd_train(args):
         train_loader, val_loader = _registration_loaders(
             args.task, data_cfg, train_cfg, args.root,
             multi_scale=getattr(args, "multi_scale", False),
+            synthetic_len=getattr(args, "synthetic_pairs", None) or 64,
         )
         render_cfg = RenderConfig()
         if args.task == "kitti" and train_cfg.use_gan:
@@ -252,6 +253,15 @@ def cmd_train(args):
         else:
             print(f"[cli] --resume: no saved state at {state_dir}; "
                   "starting fresh", file=sys.stderr)
+    elif getattr(args, "init_params", None):
+        # Warm start: generator params from a shipped params-only orbax dir
+        # (fresh optimizer/step — fine-tuning, not a full-state resume).
+        from scream_tpu.utils.checkpoint import load_params
+
+        trainer.state = trainer.state._replace(
+            params=load_params(args.init_params, trainer.state.params))
+        print(f"[cli] initialized generator params from {args.init_params}",
+              file=sys.stderr)
     final = trainer.fit(profile_dir=args.profile_dir)
     print(json.dumps({"final_val": final}))
 
@@ -474,10 +484,10 @@ def cmd_preprocess(args):
         # 3DZeroMatch both from the 3DLoMatch metadata, with the redwood
         # idx/covariance/scene sidecars the per-scene protocol needs
         # (`/root/reference/process_3d_match.py:96-234`).
-        for pkl, split_kwargs in (
-            ("3DMatch.pkl",
+        for pkl, info_sub, split_kwargs in (
+            ("3DMatch.pkl", "3DMatch",
              {"match_dir": os.path.join(args.out, "3DMatch_test")}),
-            ("3DLoMatch.pkl",
+            ("3DLoMatch.pkl", "3DLoMatch",
              {"lo_dir": os.path.join(args.out, "3DLoMatch_test"),
               "zero_dir": os.path.join(args.out, "3DZeroMatch_test")}),
         ):
@@ -485,7 +495,20 @@ def cmd_preprocess(args):
             if not os.path.exists(pkl_path):
                 print(f"skip test splits from {pkl}: {pkl_path} missing")
                 continue
-            ds = ThreeDMatchPredator(args.root, pkl_path)
+            # The redwood covariance sidecars live at
+            # <root>/info/{3DMatch,3DLoMatch}/<scene>/gt.info (the
+            # reference opens them unconditionally per test pair,
+            # `/root/reference/datasets/three_d_match.py:54-57,76-81`) —
+            # without them the per-scene eval protocol cannot run, so a
+            # missing info tree is a hard error, not a silent drop.
+            info_dir = os.path.join(args.root, "info", info_sub)
+            if not os.path.isdir(info_dir):
+                raise SystemExit(
+                    f"preprocess 3dmatch: {info_dir} missing — the test "
+                    "splits need the redwood <scene>/gt.info covariance "
+                    "files (reference layout datasets/3DMatch/info/"
+                    f"{info_sub}/<scene>/gt.info)")
+            ds = ThreeDMatchPredator(args.root, pkl_path, info_dir=info_dir)
             # Stream item dicts: save_test_splits takes pair fields AND
             # sidecar info from each dict in one pass (no materialization).
             counts = pp.save_test_splits(
@@ -922,6 +945,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="restore the full train state (params+optimizer+step)"
                         " from <checkpoint-dir>/state and continue at the"
                         " next epoch")
+    t.add_argument("--init-params", default=None,
+                   help="warm-start the generator from a params-only orbax "
+                        "dir (fresh optimizer; the fine-tune entry point)")
+    t.add_argument("--synthetic-pairs", type=int, default=None,
+                   help="training-pair count for the synthetic fallback "
+                        "(per bucket/overlap tier when --multi-scale)")
     t.add_argument("--multi-scale", action="store_true",
                    help="size-bucketed loader (one compile per bucket); the "
                         "recipe behind the shipped multi-scale checkpoints")

@@ -173,15 +173,34 @@ def refine_gt_icp(
     the reference's ``ICPConvergenceCriteria(max_iteration=50000)`` — like
     Open3D, the loop exits on the relative fitness/RMSE criteria long
     before the cap, so the faithful cap costs nothing in the converged
-    case (while_loop bounds are dynamic, not unrolled)."""
+    case (while_loop bounds are dynamic, not unrolled).
+
+    Clouds are padded (with masks) to the next power-of-two size before the
+    jitted ICP: every KITTI frame pair has a distinct point count, and an
+    exact-shape jit would compile a fresh multi-second program per pair —
+    measured as the dominant cost of the first at-scale GT-cache build.
+    Masked padding is exact (padded rows carry zero Kabsch weight and are
+    excluded from fitness/RMSE), so the refined pose is unchanged."""
     import jax.numpy as jnp
 
     from scream_tpu.geometry.icp import registration_icp
 
+    def _pad(p):
+        n = len(p)
+        cap = 1 << max(n - 1, 1).bit_length()
+        out = np.zeros((cap, 3), np.float32)
+        out[:n] = p
+        mask = np.zeros((cap,), bool)
+        mask[:n] = True
+        return out, mask
+
+    src_p, src_m = _pad(np.asarray(src, np.float32))
+    tgt_p, tgt_m = _pad(np.asarray(tgt, np.float32))
     res = registration_icp(
-        jnp.asarray(src, jnp.float32), jnp.asarray(tgt, jnp.float32),
+        jnp.asarray(src_p), jnp.asarray(tgt_p),
         max_correspondence_distance, init=jnp.asarray(init_T, jnp.float32),
         max_iteration=max_iteration,
+        src_mask=jnp.asarray(src_m), tgt_mask=jnp.asarray(tgt_m),
     )
     return np.asarray(res.transformation, dtype=np.float64)
 

@@ -160,6 +160,15 @@ def save_info_sidecars(items: Sequence[dict], out_dir: str) -> None:
     os.makedirs(info_dir, exist_ok=True)
     names = []
     for i, it in enumerate(items):
+        if "covariance" not in it:
+            # Every kept test pair must have a redwood gt.info entry (the
+            # reference indexes infos["<scene>_<tgt>,<src>"] unconditionally,
+            # three_d_match.py:80); name the offender instead of KeyError.
+            raise KeyError(
+                f"pair {i} (scene {it.get('scene')}, idx "
+                f"{it.get('idx')}) has no covariance — no matching "
+                "<scene>/gt.info entry; check the info tree passed to "
+                "ThreeDMatchPredator(info_dir=...)")
         np.save(os.path.join(info_dir, f"idx{i}.npy"), it["idx"])
         np.save(os.path.join(info_dir, f"covariance{i}.npy"), it["covariance"])
         names.append(it["scene"])

@@ -105,6 +105,28 @@ def main(argv=None):
                 os.path.join(args.out, "KITTI_test"),
                 CANONICAL_SIZES["KITTI_test"], rng, (0.5, 0.9), 40.0,
                 (4096, 8192), with_info=False)
+        elif split == "opengf-train":
+            # Matched-distribution TRAIN/VAL patches (same make_dem_patch
+            # metric geometry as the test split below) so a DEM checkpoint
+            # can be trained for a meaningful at-scale quality number
+            # (round-4 gap: the 650-patch run scored an untrained
+            # distribution). Counts are a training-budget choice, not a
+            # protocol size (the real split is 10,693).
+            for sub, count, seed_off in (("OpenGF_train", 2000, 0),
+                                         ("OpenGF_val", 200, 1)):
+                r2 = np.random.default_rng(args.seed + 100 + seed_off)
+
+                def patches(r2=r2, count=count):
+                    for i in range(count):
+                        pt = make_dem_patch(
+                            r2, n_dsm=int(r2.integers(1024, 4096)),
+                            n_dem=int(r2.integers(1024, 4096)), extent=50.0)
+                        pt["center"] = np.zeros(3, np.float32)
+                        yield pt
+                n = save_opengf_split(patches(), os.path.join(args.out, sub),
+                                      save_centers=False)
+                print(f"{sub}: wrote {n} items", flush=True)
+            continue
         elif split == "opengf":
             # Raw METRIC patches: the reader applies the /50 scaling and the
             # resolution-20 coarse voxel on read (datasets.OpenGFDataset),

@@ -43,9 +43,11 @@ QUICK = [
     "test_data.py",                  # datasets/transforms/batching
     "test_pipeline_register.py",     # end-to-end pose solve
     "test_eval_protocols.py",        # protocol bookkeeping
-    "test_train.py",                 # trainer step/resume
     "test_native.py",                # C++ backend
-    "test_graft_entry.py",           # driver entry points
+    # Dropped for the <=6 min budget (measured, 1-core host): the trainer
+    # (~4 min) and driver-entry (~4.5 min, multichip dryrun compile) files
+    # only run in the full tier; the driver exercises __graft_entry__
+    # separately every round.
 ]
 
 
