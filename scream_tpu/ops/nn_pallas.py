@@ -30,6 +30,7 @@ standard TPU reduction pattern.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -459,6 +460,103 @@ def _nn_bounded_batched_fine_kernel(tile_m: int, skip_ref, src_ref,
                                                    ref[:, k:k + 1, :])
 
 
+def _nn_bounded_batched_fine4_kernel(skip_ref, src_ref, dst_ref,
+                                     min_ref, x_ref, y_ref, z_ref):
+    """Grouped-dst fine kernel: per grid step, FOUR 256-row dst sub-tiles
+    (one (1024, 3) dst block) against the eight 128-point src sub-slabs of
+    one 1024-point src tile — 4x fewer grid steps than the per-256-dst-tile
+    :func:`_nn_bounded_batched_fine_kernel` at identical pruning
+    granularity. Motivation (round-4 work model, docs/BENCH.md "ICP
+    roofline"): the measured per-live-sub-slab cost sat ~2x above the
+    analytic VPU pass and ~17% of kernel time was dead-block grid stepping
+    — both per-grid-step overheads that amortize over a 4x bigger step.
+
+    Flags: bit ``8*c + k`` of the int32 ``skip_ref[b, i, j]`` prunes (src
+    sub-slab ``k``, dst sub-tile ``c``); all 32 bits set (== -1 in two's
+    complement) skips the whole step. Packing stays exact under int32
+    because the flag word is a sum of distinct powers of two (bit 31's
+    weight is INT32_MIN — two's complement works out, see
+    :func:`_pack_fine_flags`).
+
+    Exactness: identical per-(256x128)-sub-tile arithmetic to the fine
+    kernel, and the global dst visit order ``j*4 + c`` ascending with
+    strict ``<`` accumulation reproduces the old ascending-``j`` order —
+    first dst tile attaining the min wins, lowest row index within a tile
+    wins, so distances AND winner coordinates are bit-identical.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        min_ref[...] = jnp.full(min_ref.shape, 3.0e38, jnp.float32)
+        x_ref[...] = jnp.zeros(x_ref.shape, jnp.float32)
+        y_ref[...] = jnp.zeros(y_ref.shape, jnp.float32)
+        z_ref[...] = jnp.zeros(z_ref.shape, jnp.float32)
+
+    flags = skip_ref[b, i, j]
+
+    @pl.when(flags != -1)
+    def _():
+        for c in range(4):  # dst sub-tiles, ascending == old j order
+            sub_flags = (flags >> (8 * c)) & 255
+
+            @pl.when(sub_flags != 255)
+            def _(c=c, sub_flags=sub_flags):
+                dst = dst_ref[c * 256:(c + 1) * 256, :]  # (256, 3)
+                d_sq = jnp.sum(dst * dst, axis=1, keepdims=True)
+                for k in range(8):  # 128-point src sub-slabs
+                    @pl.when(((sub_flags >> k) & 1) == 0)
+                    def _(c=c, k=k, dst=dst, d_sq=d_sq):
+                        src_k = src_ref[k * 128:(k + 1) * 128, :]  # (128, 3)
+                        cross = jax.lax.dot_general(
+                            dst, src_k,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        s_sq = jnp.sum(src_k * src_k, axis=1)[None, :]
+                        d2 = d_sq + s_sq - 2.0 * cross  # (256, 128)
+
+                        local_min = jnp.min(d2, axis=0, keepdims=True)
+                        rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+                        local_arg = jnp.min(
+                            jnp.where(d2 <= local_min, rows, _BIG_IDX),
+                            axis=0, keepdims=True)
+
+                        sel = (rows == local_arg).astype(jnp.float32)
+                        xyz = jax.lax.dot_general(
+                            dst, sel,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (3, 128)
+
+                        local_min = local_min.reshape(1, 1, 128)
+                        prev_min = min_ref[:, k:k + 1, :]
+                        better = local_min < prev_min
+                        min_ref[:, k:k + 1, :] = jnp.where(
+                            better, local_min, prev_min)
+                        for cc, ref in ((0, x_ref), (1, y_ref), (2, z_ref)):
+                            new_c = xyz[cc:cc + 1, :].reshape(1, 1, 128)
+                            ref[:, k:k + 1, :] = jnp.where(
+                                better, new_c, ref[:, k:k + 1, :])
+
+
+def _pack_fine_flags(skip_f: jnp.ndarray) -> jnp.ndarray:
+    """Pack a ``(B, nt, 8, mg, 4)`` bool/int sub-slab skip matrix into one
+    int32 flag word per (batch, src-tile, dst-group) grid step, bit
+    ``8*c + k`` for (src sub-slab ``k``, dst sub-tile ``c``).
+
+    Bit 31 (c=3, k=7) shifts ``1 << 31`` to INT32_MIN; the einsum's sum of
+    distinct signed powers of two still lands on the exact two's-complement
+    bit pattern (all bits set sums to -1), which is all the kernel reads.
+    """
+    bits = (jnp.arange(8, dtype=jnp.int32)[:, None]
+            + 8 * jnp.arange(4, dtype=jnp.int32)[None, :])
+    weights = jnp.left_shift(jnp.int32(1), bits)  # (8, 4)
+    return jnp.einsum("bnkmc,kc->bnm", skip_f.astype(jnp.int32), weights)
+
+
 def _bounded_batched(
     src: jnp.ndarray,  # (B, N, 3)
     dst: jnp.ndarray,  # (B, M, 3)
@@ -484,8 +582,21 @@ def _bounded_batched(
     """
     B, n = src.shape[0], src.shape[1]
     m = dst.shape[1]
+    fine = fine and tile_n == 1024  # 8 x 128 sub-slabs assume tile_n 1024
+    # Grouped-dst fine path (SCREAM_NN_DSTGROUP=4, measurement apparatus):
+    # 4 x 256-row dst sub-tiles per grid step, 4x fewer grid steps at
+    # identical pruning granularity and bit-identical outputs (tested).
+    # Measured round 5 at the headline point: 1.445 vs 1.455 ms/ICP-iter —
+    # grid-step count is NOT where the kernel's time goes (docs/BENCH.md
+    # "ICP roofline", per-pass latency model), and the 4x-bigger body
+    # roughly doubles the Mosaic compile, so the per-256-row fine kernel
+    # stays the default and the grouped kernel remains as the committed
+    # grid-step-invariance probe (scripts/bench_nn_kernel.py).
+    group = (fine and tile_m == 256
+             and os.environ.get("SCREAM_NN_DSTGROUP") == "4")
     n_pad = _round_up(max(n, tile_n), tile_n)
-    m_pad = _round_up(max(m, tile_m), tile_m)
+    m_pad = _round_up(max(m, tile_m * (4 if group else 1)),
+                      tile_m * (4 if group else 1))
     sub = tile_n // 128
     nt, mt = n_pad // tile_n, m_pad // tile_m
 
@@ -505,7 +616,6 @@ def _bounded_batched(
     dst_lo, dst_hi = jax.vmap(
         lambda p: _tile_boxes(p, tile_m, far_sentinel=FAR))(dst_p)
     t = jnp.asarray(thresh_sq, jnp.float32)
-    fine = fine and tile_n == 1024  # 8 x 128 sub-slabs assume tile_n 1024
     if fine:
         # Sub-slab (128-point) src boxes; bit k of the packed flag word
         # prunes sub-slab k, and 255 (all bits set) prunes the whole block
@@ -516,9 +626,14 @@ def _bounded_batched(
         skip_f = gap_f > (t[:, None, None] if t.ndim == 1 else t)
         if dead is not None:
             skip_f = skip_f | dead[:, None, None]
-        skip_f = skip_f.reshape(B, nt, 8, mt).astype(jnp.int32)
-        weights = jnp.asarray([1 << k for k in range(8)], jnp.int32)
-        skip = jnp.einsum("bnkm,k->bnm", skip_f, weights)
+        if group:
+            # Grouped: one int32 per (src-tile, 1024-row dst GROUP), bit
+            # 8*c + k for (src sub-slab k, dst sub-tile c of the group).
+            skip = _pack_fine_flags(skip_f.reshape(B, nt, 8, mt // 4, 4))
+        else:
+            skip_f = skip_f.reshape(B, nt, 8, mt).astype(jnp.int32)
+            weights = jnp.asarray([1 << k for k in range(8)], jnp.int32)
+            skip = jnp.einsum("bnkm,k->bnm", skip_f, weights)
     else:
         src_lo, src_hi = jax.vmap(lambda p: _tile_boxes(p, tile_n))(src_p)
         gap_sq = jax.vmap(_box_gap_sq)(src_lo, src_hi, dst_lo, dst_hi)
@@ -527,7 +642,9 @@ def _bounded_batched(
             skip = skip | dead[:, None, None]
         skip = skip.astype(jnp.int32)
 
-    grid = (B, nt, mt)
+    mg = mt // 4 if group else mt
+    dst_block = tile_m * 4 if group else tile_m
+    grid = (B, nt, mg)
     out_block = pl.BlockSpec((1, sub, 128), lambda b, i, j, *_: (b * nt + i, 0, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -536,12 +653,13 @@ def _bounded_batched(
         in_specs=[
             pl.BlockSpec((tile_n, 3), lambda b, i, j, *_: (b * nt + i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, 3), lambda b, i, j, *_: (b * mt + j, 0),
+            pl.BlockSpec((dst_block, 3), lambda b, i, j, *_: (b * mg + j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_block] * 4,
     )
-    kernel = (partial(_nn_bounded_batched_fine_kernel, tile_m) if fine
+    kernel = (_nn_bounded_batched_fine4_kernel if group
+              else partial(_nn_bounded_batched_fine_kernel, tile_m) if fine
               else partial(_nn_bounded_batched_kernel, tile_m))
     operands = (skip, src_p.reshape(B * n_pad, 3),
                 dst_p.reshape(B * m_pad, 3))

@@ -247,3 +247,39 @@ class TestBatchedBoundedNN:
                 s, d, jnp.float32(0.02), m_)))(
                     jnp.asarray(src), jnp.asarray(dst), jnp.asarray(mask)))
         assert jaxpr.count("pallas_call") == 1, jaxpr.count("pallas_call")
+
+    def test_grouped_fine4_bit_exact_vs_fine1(self, rng, monkeypatch):
+        """The grouped-dst fine4 kernel (4 x 256-row dst sub-tiles per grid
+        step) must be BIT-exact vs the per-256-row-step fine kernel —
+        distances and winner coordinates, incl. odd sizes, masks, a dead
+        lane, and a per-lane threshold (same pruning granularity, same
+        ascending-dst accumulation order)."""
+        from scream_tpu.ops.nn_pallas import _bounded_batched
+
+        src, dst, mask = self._batch(rng, B=3, n=1500, m=1300, sort=True)
+        dead = np.array([False, True, False])
+        tb = np.array([0.02, 0.05, 0.01], np.float32)
+        monkeypatch.setenv("SCREAM_NN_DSTGROUP", "4")
+        d4, x4 = _bounded_batched(
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(tb),
+            jnp.asarray(mask), jnp.asarray(dead), interpret=True)
+        monkeypatch.delenv("SCREAM_NN_DSTGROUP")
+        d1, x1 = _bounded_batched(
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(tb),
+            jnp.asarray(mask), jnp.asarray(dead), interpret=True)
+        np.testing.assert_array_equal(np.asarray(d4), np.asarray(d1))
+        np.testing.assert_array_equal(np.asarray(x4), np.asarray(x1))
+
+    def test_pack_fine_flags_bit_pattern(self):
+        """int32 packing incl. bit 31 (INT32_MIN weight): all-set == -1,
+        single bits land where the kernel's (flags >> (8c+k)) & 1 looks."""
+        from scream_tpu.ops.nn_pallas import _pack_fine_flags
+
+        allset = np.ones((1, 1, 8, 1, 4), np.int32)
+        assert int(_pack_fine_flags(jnp.asarray(allset))[0, 0, 0]) == -1
+        for k, c in ((0, 0), (7, 3), (3, 2), (7, 0), (0, 3)):
+            one = np.zeros((1, 1, 8, 1, 4), np.int32)
+            one[0, 0, k, 0, c] = 1
+            got = int(_pack_fine_flags(jnp.asarray(one))[0, 0, 0])
+            want = np.int32(np.uint32(1) << np.uint32(8 * c + k))
+            assert got == want, (k, c, got, want)
