@@ -177,6 +177,12 @@ def cmd_train(args):
         train_cfg = dataclasses.replace(train_cfg, batch_size=args.batch_size)
     if args.gan:
         train_cfg = dataclasses.replace(train_cfg, use_gan=True)
+    if getattr(args, "lr_d", None):
+        # Discriminator LR override — the GAN-balance knob (a saturating D,
+        # d_loss -> 0, starves the generator of gradient signal).
+        train_cfg = dataclasses.replace(train_cfg, lr_d=args.lr_d)
+    if getattr(args, "lr_g", None):
+        train_cfg = dataclasses.replace(train_cfg, lr_g=args.lr_g)
     if getattr(args, "center_mode", None):
         # "none" trains WITHOUT the reference's GT src_center hint — the
         # recipe for checkpoints usable in GT-free register_pair.
@@ -940,6 +946,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "training epochs (train_3d_match.py:159)")
     t.add_argument("--batch-size", type=int, default=None)
     t.add_argument("--gan", action="store_true")
+    t.add_argument("--lr-d", type=float, default=None,
+                   help="discriminator LR override (balance knob: the "
+                        "preset 1e-4 saturates on easy synthetic streams)")
+    t.add_argument("--lr-g", type=float, default=None,
+                   help="generator LR override (e.g. a gentler LR for "
+                        "--init-params fine-tuning)")
     t.add_argument("--checkpoint-dir", default="checkpoints")
     t.add_argument("--resume", action="store_true",
                    help="restore the full train state (params+optimizer+step)"

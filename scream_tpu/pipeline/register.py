@@ -368,9 +368,13 @@ class PairRegistration(NamedTuple):
     # rotation or a translation gap beyond the ICP radius — lanes that
     # merely re-converged to the winner's basin are not competitors).
     # score_margin = (fitness - runner_up_fitness) / fitness; `ambiguous`
-    # marks margins inside the measured near-symmetry band (the round-4
-    # pair-51-class failure sat at margin ~0.18 while clean full-SO(3)
-    # winners measured >=0.3 — docs/EVAL_SNAPSHOT.md).
+    # marks margins inside the MEASURED near-symmetry band (default 0.05):
+    # on the 64-pair full-SO(3) calibration stream (measure_gt_free
+    # --passes 0, ico60) the one residual failure — the pair-51-class
+    # near-symmetric lock — scores margin 0.014 while success margins
+    # quantile at 0.046/0.207/0.319 (q05/q25/q50); the band catches the
+    # failure with ~3x headroom and flags ~6% of pairs, all genuinely
+    # near-tied geometry (docs/EVAL_SNAPSHOT.md round 5).
     runner_up_fitness: float = float("nan")
     score_margin: float = float("nan")
     ambiguous: bool = False
@@ -863,7 +867,7 @@ def register_pairs_robust(
     starts: str = "axis7",
     batch_size: Optional[int] = None,
     return_lanes: bool = False,
-    ambiguity_band: float = 0.25,
+    ambiguity_band: float = 0.05,
 ) -> list:
     """Robust multi-start search over MANY pairs — batched robust serving.
 
@@ -989,15 +993,19 @@ def register_pairs_robust(
         # max fitness, ties broken by lower inlier RMSE
         k_best = int(np.lexsort((rmse, -fit))[0])
         # Ambiguity: the best fitness among lanes whose pose is DISTINCT
-        # from the winner's — rotation geodesic angle > 15° (the protocol's
-        # own RE gate: closer poses are the same answer for the protocol)
-        # or a translation gap beyond the full ICP radius. Lanes that
-        # polished into the winner's basin are duplicates, not competitors.
+        # from the winner's — rotation geodesic angle > 30° or a
+        # translation gap beyond the full ICP radius. The threshold is
+        # measured, not the 15° protocol gate: lanes 15-30° from the winner
+        # are usually unconverged near-basin twins of the SAME lock (at 15°
+        # they drove success-pair margins as low as 0.008 and flagged 37.5%
+        # of clean full-SO(3) pairs), while a true near-symmetric competitor
+        # lock (the pair-51 class) sits 60-180° away. Lanes that polished
+        # into the winner's basin are duplicates, not competitors.
         Rb = Tfin[k_best, :3, :3]
         tr = np.einsum("ij,kij->k", Rb, Tfin[:, :3, :3])  # trace(Rb^T Rk)
         ang = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
         t_gap = np.linalg.norm(Tfin[:, :3, 3] - Tfin[k_best, :3, 3], axis=-1)
-        distinct = (ang > 15.0) | (t_gap > icp_thresh)
+        distinct = (ang > 30.0) | (t_gap > icp_thresh)
         distinct[k_best] = False
         f_best = float(fit[k_best])
         if distinct.any() and f_best > 0.0:

@@ -120,6 +120,10 @@ def main(argv=None):
             # where the near-symmetry band sits (PairRegistration docs).
             margins = np.array([r[3] for r in res])
             row["margin_succ_min"] = round(float(margins[ok].min()), 3) if ok.any() else None
+            row["margin_succ_q"] = ([round(float(q), 3) for q in
+                                     np.quantile(margins[ok],
+                                                 [0.05, 0.25, 0.5])]
+                                    if ok.any() else None)
             row["margin_fail_max"] = (round(float(margins[~ok].max()), 3)
                                       if (~ok).any() else None)
             row["margins_failed"] = [round(float(m), 3) for m in margins[~ok]]

@@ -73,7 +73,7 @@ def main(argv=None):
             # scream_tpu/eval/protocols.py:evaluate_kitti) from the same
             # per-pair metrics that feed the failure table, instead of
             # running the multi-minute ICP-1000 pass twice.
-            res, tes = [], []
+            res, tes, ncs, gtas = [], [], [], []
             for batch in loader:
                 dev = {k: jnp.asarray(v) for k, v in batch.items()}
                 m = register_batch(
@@ -82,6 +82,11 @@ def main(argv=None):
                     icp_max_iter=ec.icp_max_iter, center_mode=ec.center_mode)
                 res.extend(np.asarray(m.re_deg).tolist())
                 tes.extend(np.asarray(m.te).tolist())
+                ncs.extend(np.asarray(m.n_corr).tolist())
+                # GT rotation magnitude per pair (failure attribution).
+                tr = np.einsum("bii->b", np.asarray(batch["rot"]))
+                gtas.extend(np.degrees(np.arccos(
+                    np.clip((tr - 1.0) / 2.0, -1.0, 1.0))).tolist())
             re_a, te_a = np.asarray(res), np.asarray(tes)
             ok = (re_a <= ec.success_re_deg) & (te_a <= ec.success_te)
             rec.update({
@@ -91,10 +96,13 @@ def main(argv=None):
                 "n_pairs": len(res),
             })
             fails = [
-                {"pair": i, "re_deg": round(r, 2), "te": round(t, 3)}
+                {"pair": i, "re_deg": round(r, 2), "te": round(t, 3),
+                 "n_corr": int(ncs[i]), "gt_rot_deg": round(gtas[i], 1)}
                 for i, (r, t) in enumerate(zip(res, tes))
                 if r > ec.success_re_deg or t > ec.success_te
             ]
+            rec["n_corr_median"] = int(np.median(ncs))
+            rec["gt_rot_median_deg"] = round(float(np.median(gtas)), 1)
             rec["median_re_deg"] = round(float(np.median(res)), 3)
             rec["median_te"] = round(float(np.median(tes)), 4)
             rec["failures"] = fails
