@@ -1015,12 +1015,10 @@ def breakdown():
            "batch": BATCH, "n_points": N_POINTS,
            "note": "lag-1 pipelined per-call; includes the remote tunnel's "
                    "per-call sync overhead"})
-    _emit({"metric": "breakdown_solve_ms_per_batch",
-           "value": round(max(t_solve - t_fwd, 0.0) * 1e3, 2), "unit": "ms",
-           "note": "wall-clock subtraction: the ~3 ms solve hides under the "
-                   "per-call RPC jitter, so this often reads 0 — the honest "
-                   "figure is breakdown_device_true_ms_per_batch.solve "
-                   "(--icp-roofline, trace-based)"})
+    # The old wall-clock-subtraction "solve" row is gone: the ~3 ms solve
+    # hides under per-call RPC jitter and the row read a meaningless 0.0
+    # next to the honest trace-based number. Use
+    # breakdown_device_true_ms_per_batch.solve (--icp-roofline).
     _emit({"metric": "breakdown_icp_ms_per_batch",
            "value": round(max(t_full - t_solve, 0.0) * 1e3, 2), "unit": "ms",
            "note": f"{ICP_ITERS} NN+Kabsch iterations"})

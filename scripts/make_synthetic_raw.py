@@ -259,6 +259,13 @@ def _terrain(rng, x0, y0, w, h, density):
     xy = np.empty((n, 2))
     xy[:, 0] = rng.uniform(x0, x0 + w, n)
     xy[:, 1] = rng.uniform(y0, y0 + h, n)
+    # Pin the scene bbox to the EXACT nominal extent: the tiling grid
+    # derives its window count from the point min/max
+    # (`process_open_gf.py:83-91` fixed 17x17 / 26x25 grids assume the
+    # full span), and a random bbox undershoots by ~1/density — measured
+    # 16x16 grids and 9,488/10,693 train patches before this pin.
+    xy[0] = (x0, y0)
+    xy[1] = (x0 + w, y0 + h)
     z_ground = (8.0 * np.sin(xy[:, 0] / 180.0) * np.cos(xy[:, 1] / 150.0)
                 + 3.0 * np.sin(xy[:, 0] / 41.0))
     is_ground = rng.random(n) < 0.65
@@ -268,6 +275,10 @@ def _terrain(rng, x0, y0, w, h, density):
     # a sprinkle of never-classified points (class 0) that ingestion drops
     drop = rng.random(n) < 0.02
     cls = np.where(drop, 0, cls).astype(np.uint8)
+    # The bbox-pinning corner points must survive ingestion (class != 0) or
+    # the extent pin above is void; make them ground.
+    cls[:2] = 2
+    z[:2] = z_ground[:2]
     return np.column_stack([xy, z]), cls
 
 
